@@ -1,0 +1,63 @@
+"""hetmogp_tpu — TPU-native heterogeneous multi-output Gaussian processes.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+pmorenoz/HetMOGP (Moreno-Munoz, Artes-Rodriguez, Alvarez; NeurIPS 2018):
+sparse variational multi-output GPs where Q latent GPs are linearly mixed
+(LMC) into D output parameter functions, each output with its own likelihood
+distribution and its own input set.
+
+Design versus the reference (see SURVEY.md for the full map):
+
+* The reference's hand-derived gradient engine (svmogp_inf.py) is replaced by
+  a pure-function ELBO differentiated with ``jax.grad``.
+* The un-whitened q(u) parameterization (explicit Kuu^-1 via dpotri) is
+  replaced by a whitened parameterization by default (no explicit inverses,
+  better conditioning); the un-whitened form is retained behind a flag for
+  oracle-parity comparisons.
+* Per-output-function covariance projections are shared per (task, latent)
+  pair and scaled by the mixing weights afterwards — an O(D/F_t) saving over
+  the reference, and fully batched onto the MXU.
+* Gauss-Hermite variational expectations are a single vmapped engine with a
+  custom VJP reproducing the reference's Bonnet/Price gradient forms
+  (E[dlogp/df], 0.5 E[d2logp/df2]) from autodiff of each likelihood's logpdf.
+"""
+
+from hetmogp_tpu.config import ModelConfig, TrainConfig
+from hetmogp_tpu.likelihoods import (
+    Bernoulli,
+    Beta,
+    Categorical,
+    Exponential,
+    Gamma,
+    Gaussian,
+    HetGaussian,
+    HetLikelihood,
+    Poisson,
+)
+from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
+from hetmogp_tpu.train import vem_algorithm, svi_fit
+from hetmogp_tpu.data import MinibatchStream, batch_scales
+
+__all__ = [
+    "ModelConfig",
+    "TrainConfig",
+    "Gaussian",
+    "HetGaussian",
+    "Bernoulli",
+    "Categorical",
+    "Beta",
+    "Gamma",
+    "Exponential",
+    "Poisson",
+    "HetLikelihood",
+    "SVMOGP",
+    "SVMOGPParams",
+    "build_elbo",
+    "init_params",
+    "vem_algorithm",
+    "svi_fit",
+    "MinibatchStream",
+    "batch_scales",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,157 @@
+"""Typed configuration for models and training.
+
+The reference scatters its constants through the code (GH node counts,
+VE:VM ratio 3:1, Adadelta momentum 0.9, optimize max_iters=100, clip bounds;
+see SURVEY.md §5 "Config / flag system").  Here they are explicit, typed and
+hashable so an oracle-parity run is reproducible and every jitted function can
+close over a config statically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+# dtype is stored as a string so configs stay hashable (jit static args).
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static structure of an SVMOGP model.
+
+    Attributes:
+      likelihoods: per-task likelihood objects (frozen/hashable), one per
+        heterogeneous output; mirrors ``HetLikelihood(likelihoods_list)`` in
+        the reference (het_likelihood.py:16-22).
+      num_latent: Q, number of latent GPs u_q.
+      num_inducing: M, inducing points per latent GP.
+      input_dim: dimensionality of X.
+      whiten: if True (default), q(u_q) is parameterized in the whitened
+        space u_q = Luu_q v_q (no explicit Kuu inverse anywhere).  If False,
+        q(u_q) lives in function space like the reference (svmogp.py:66-69).
+      jitter: base jitter added to Kuu before Cholesky.  0.0 + adaptive
+        escalation reproduces GPy's jitchol behavior (GPy linalg.jitchol,
+        used at reference util.py:198).
+      adaptive_jitter: escalate jitter x10 (up to 5 tries, starting at
+        1e-6 * mean(diag)) when the Cholesky produces NaNs.
+      dtype: parameter/compute dtype name ("float64" for oracle parity on
+        CPU, "float32" for TPU throughput).
+      kernel: latent kernel family, currently "rbf" | "matern32" | "matern52".
+      ard: per-dimension lengthscales if True.
+    """
+
+    likelihoods: Tuple[Any, ...]
+    num_latent: int
+    num_inducing: int
+    input_dim: int
+    whiten: bool = True
+    jitter: float = 0.0
+    adaptive_jitter: bool = True
+    dtype: str = "float32"
+    kernel: str = "rbf"
+    ard: bool = False
+
+    # ---- derived static metadata ------------------------------------------------
+    @property
+    def num_tasks(self) -> int:
+        return len(self.likelihoods)
+
+    @property
+    def task_dim_f(self) -> Tuple[int, ...]:
+        """Latent parameter-function count per task (dim_f in the reference)."""
+        return tuple(lik.dim_f for lik in self.likelihoods)
+
+    @property
+    def num_output_functions(self) -> int:
+        """D = total parameter functions f_d across all tasks.
+
+        Mirrors ``HetLikelihood.num_output_functions`` (het_likelihood.py:85-90).
+        """
+        return sum(self.task_dim_f)
+
+    @property
+    def function_index(self) -> Tuple[int, ...]:
+        """Map d -> task t (reference metadata 'function_index',
+        het_likelihood.py:24-44)."""
+        out = []
+        for t, lik in enumerate(self.likelihoods):
+            out.extend([t] * lik.dim_f)
+        return tuple(out)
+
+    @property
+    def d_index(self) -> Tuple[int, ...]:
+        """Map d -> within-task column (reference metadata 'd_index')."""
+        out = []
+        for lik in self.likelihoods:
+            out.extend(range(lik.dim_f))
+        return tuple(out)
+
+    @property
+    def task_function_slices(self) -> Tuple[Tuple[int, int], ...]:
+        """(start, stop) into the global d axis for each task's functions."""
+        out = []
+        start = 0
+        for lik in self.likelihoods:
+            out.append((start, start + lik.dim_f))
+            start += lik.dim_f
+        return tuple(out)
+
+    @property
+    def np_dtype(self):
+        return _DTYPES[self.dtype]
+
+    def metadata(self) -> dict:
+        """Reference-compatible Y_metadata dict (het_likelihood.py:24-44)."""
+        import numpy as np
+
+        t_index = np.arange(self.num_tasks)
+        y_index, f_index, d_index, p_index = [], [], [], []
+        for t, lik in enumerate(self.likelihoods):
+            y_index.extend([t] * lik.dim_y)
+            f_index.extend([t] * lik.dim_f)
+            d_index.extend(range(lik.dim_f))
+            p_index.extend([t] * lik.dim_p)
+        return {
+            "task_index": t_index,
+            "y_index": np.asarray(y_index, dtype=np.int64),
+            "function_index": np.asarray(f_index, dtype=np.int64),
+            "d_index": np.asarray(d_index, dtype=np.int64),
+            "pred_index": np.asarray(p_index, dtype=np.int64),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters.
+
+    Defaults reproduce the reference's constants:
+    * ``ve_steps_per_vm=4`` — the reference's SVI counter (svmogp.py:188-199)
+      computes VE gradients while ve_count is 0,1,2,3 (the count>2 branch
+      still returns a VE gradient before flipping), i.e. 4 VE steps per VM
+      step.
+    * ``step_rate=0.01``, ``momentum=0.9`` — climin Adadelta defaults used at
+      util.py:321-329.
+    * ``batch_inner_iters=100`` — ``model.optimize(max_iters=100)`` per VEM
+      half-step (util.py:305,318).
+    * ``vem_iters=5`` — util.py:287.
+    """
+
+    vem_iters: int = 5
+    batch_inner_iters: int = 100
+    step_rate: float = 0.01
+    momentum: float = 0.9
+    ve_steps_per_vm: int = 4
+    optimizer: str = "adadelta"  # "adadelta" | "adam" | "natgrad_adam"
+    natgrad_lr: float = 0.1
+    learn_inducing: bool = True  # optZ in vem_algorithm (util.py:311)
+    learn_W: bool = True  # non_chained in vem_algorithm (util.py:313)
+    shuffle: bool = True  # reference cycles batches sequentially due to a
+    # no-op shuffle (util.py:70); False reproduces that.
+    seed: int = 0

@@ -1,0 +1,160 @@
+"""Host-side data pipeline: minibatching, batch scales, toy generators.
+
+Replaces the reference's climin-style slicers (util.py:52-72, svmogp.py:38-47,
+175-186) with a static-shape stream: every batch has a fixed per-task size
+(so the jitted train step never recompiles) and carries a 0/1 mask for
+padding rows, which also makes ragged tasks shard cleanly across a device
+mesh.
+
+The reference's shuffle is a no-op bug — ``random.shuffle(list(idxs))``
+shuffles a throw-away copy (util.py:70), so its minibatches cycle
+sequentially forever.  ``shuffle=False`` reproduces that behavior;
+``shuffle=True`` (default) re-permutes every epoch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hetmogp_tpu.models.elbo import TaskData, task_data
+
+
+def batch_scales(X_all: Sequence, X_batch: Sequence) -> List[float]:
+    """N_full / N_batch per task (reference util.py:15-19, svmogp.py:89-90)."""
+    return [float(len(xa)) / float(len(xb)) for xa, xb in zip(X_all, X_batch)]
+
+
+class MinibatchStream:
+    """Infinite fixed-shape minibatch stream over a heterogeneous dataset.
+
+    Args:
+      X_list, Y_list: per-task full data (numpy arrays).
+      batch_sizes: per-task batch size, or one int for all tasks.  Tasks
+        smaller than their batch size are included whole each step (padded).
+      shuffle: permute per-epoch; False = sequential cycling (reference).
+      pad_multiple: round every batch's row count up to a multiple of this
+        (e.g. the mesh's data-axis size) so batches shard evenly; padded rows
+        have mask 0 and do not affect the ELBO.
+    """
+
+    def __init__(self, X_list: Sequence, Y_list: Sequence,
+                 batch_sizes, *, shuffle: bool = True, seed: int = 0,
+                 pad_multiple: int = 1, dtype=None):
+        self.X_list = [np.asarray(x) for x in X_list]
+        self.Y_list = [np.atleast_2d(np.asarray(y)) if np.asarray(y).ndim == 1
+                       else np.asarray(y) for y in Y_list]
+        T = len(self.X_list)
+        if isinstance(batch_sizes, int):
+            batch_sizes = [batch_sizes] * T
+        self.batch_sizes = [min(b, len(x)) for b, x in zip(batch_sizes, self.X_list)]
+        self.padded_sizes = [-(-b // pad_multiple) * pad_multiple
+                             for b in self.batch_sizes]
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.dtype = dtype
+        self._order = [np.arange(len(x)) for x in self.X_list]
+        self._pos = [0] * T
+        if shuffle:
+            for t in range(T):
+                self.rng.shuffle(self._order[t])
+
+    def _next_indices(self, t: int) -> np.ndarray:
+        n = len(self._order[t])
+        b = self.batch_sizes[t]
+        start = self._pos[t]
+        stop = min(start + b, n)
+        idx = self._order[t][start:stop]
+        self._pos[t] = stop
+        if stop >= n:
+            self._pos[t] = 0
+            if self.shuffle:
+                self.rng.shuffle(self._order[t])
+        return idx
+
+    def next(self) -> Tuple[Tuple[TaskData, ...], np.ndarray]:
+        """One step's batches: (per-task TaskData, scales (T,))."""
+        batches = []
+        scales = []
+        for t in range(len(self.X_list)):
+            idx = self._next_indices(t)
+            n_real = len(idx)
+            n_pad = self.padded_sizes[t]
+            if n_real < n_pad:
+                # wrap-around fill, masked out
+                fill = np.resize(self._order[t], n_pad - n_real)
+                full_idx = np.concatenate([idx, fill])
+            else:
+                full_idx = idx
+            mask = np.zeros(n_pad)
+            mask[:n_real] = 1.0
+            batches.append(task_data(self.X_list[t][full_idx],
+                                     self.Y_list[t][full_idx],
+                                     mask, dtype=self.dtype))
+            # reference scale uses the *actual* batch row count (svmogp.py:90)
+            scales.append(len(self.X_list[t]) / float(n_real))
+        return tuple(batches), np.asarray(scales)
+
+    def __iter__(self):
+        while True:
+            yield self.next()
+
+
+def full_batch(X_list, Y_list, dtype=None, pad_multiple: int = 1
+               ) -> Tuple[Tuple[TaskData, ...], np.ndarray]:
+    """The whole dataset as one static batch (batch VEM mode), scales = 1."""
+    batches = []
+    for x, y in zip(X_list, Y_list):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        if y.ndim == 1:
+            y = y[:, None]
+        n = x.shape[0]
+        n_pad = -(-n // pad_multiple) * pad_multiple
+        mask = np.zeros(n_pad)
+        mask[:n] = 1.0
+        if n_pad > n:
+            pad_idx = np.concatenate([np.arange(n), np.zeros(n_pad - n, dtype=int)])
+            x, y = x[pad_idx], y[pad_idx]
+        batches.append(task_data(x, y, mask, dtype=dtype))
+    return tuple(batches), np.ones(len(batches))
+
+
+# ---------------------------------------------------------------------------
+# synthetic data (reference util.py:21-50, 202-206)
+# ---------------------------------------------------------------------------
+
+def true_u_functions(X_list: Sequence, Q: int, seed: int = 0):
+    """Random sinusoid-mixture latent functions (reference util.py:21-34)."""
+    rng = np.random.RandomState(seed)
+    amplitude = (1.5 - 0.5) * rng.rand(Q, 3) + 0.5
+    freq = (3 - 1) * rng.rand(Q, 3) + 1
+    shift = 2 * rng.rand(Q, 3)
+    out = []
+    for X in X_list:
+        X = np.asarray(X)
+        u_task = np.empty((X.shape[0], Q))
+        for q in range(Q):
+            u_task[:, q] = (
+                3 * amplitude[q, 0] * np.cos(freq[q, 0] * np.pi * X[:, 0] + shift[q, 0] * np.pi)
+                - 2 * amplitude[q, 1] * np.sin(2 * freq[q, 1] * np.pi * X[:, 0] + shift[q, 1] * np.pi)
+                + amplitude[q, 2] * np.cos(4 * freq[q, 2] * np.pi * X[:, 0] + shift[q, 2] * np.pi))
+        out.append(u_task)
+    return out
+
+
+def true_f_functions(true_u: Sequence, W: np.ndarray, function_index,
+                     d_index) -> List[np.ndarray]:
+    """Mix latent samples into per-task parameter functions F = u W
+    (reference util.py:36-50).  W: (Q, D) over the global function axis."""
+    T = int(np.max(function_index)) + 1
+    out = []
+    for t in range(T):
+        u_task = np.asarray(true_u[t])
+        dims = [d for d in range(len(function_index)) if function_index[d] == t]
+        F = np.zeros((u_task.shape[0], len(dims)))
+        for j, d in enumerate(dims):
+            F[:, j] = u_task @ W[:, d]
+        out.append(F)
+    return out

@@ -1,0 +1,25 @@
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp, safe_square
+from hetmogp_tpu.likelihoods.bernoulli import Bernoulli
+from hetmogp_tpu.likelihoods.beta import Beta
+from hetmogp_tpu.likelihoods.categorical import Categorical
+from hetmogp_tpu.likelihoods.exponential import Exponential
+from hetmogp_tpu.likelihoods.gamma import Gamma
+from hetmogp_tpu.likelihoods.gaussian import Gaussian
+from hetmogp_tpu.likelihoods.hetgaussian import HetGaussian
+from hetmogp_tpu.likelihoods.heterogeneous import HetLikelihood
+from hetmogp_tpu.likelihoods.poisson import Poisson
+
+__all__ = [
+    "Likelihood",
+    "safe_exp",
+    "safe_square",
+    "Gaussian",
+    "HetGaussian",
+    "Bernoulli",
+    "Categorical",
+    "Beta",
+    "Gamma",
+    "Exponential",
+    "Poisson",
+    "HetLikelihood",
+]

@@ -1,0 +1,118 @@
+"""Likelihood protocol.
+
+Mirrors the reference's per-distribution contract (reference README.md:44-47:
+``logpdf``, ``var_exp``, ``var_exp_derivatives``, ``predictive``,
+``log_predictive``, ``samples``, ``get_metadata``, ``ismulti``) but drives
+everything from a single scalar ``logpdf(f, y)`` plus optional
+``conditional_moments(f)``:
+
+* ``var_exp`` / ``var_exp_derivatives`` come from the shared vmapped
+  Gauss-Hermite engine (ops/quadrature.py) unless a subclass overrides them
+  analytically (Gaussian, HetGaussian).
+* ``predictive`` comes from the generic law-of-total-variance quadrature.
+* ``dlogp_df`` / ``d2logp_df2`` (hand-derived in every reference likelihood,
+  e.g. bernoulli.py:66-80) do not exist: autodiff of ``logpdf`` supplies them
+  inside the engine's custom VJP.
+
+Instances are frozen dataclasses — hashable and therefore valid jit statics.
+Array conventions: per-task ``Y`` is (N, dim_y); ``M``/``V`` (posterior
+moments of the parameter functions) are (N, dim_f); ``var_exp`` returns (N,).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu.ops import quadrature
+
+
+def safe_exp(x):
+    """exp with the argument clipped to the dtype's overflow limit.
+
+    Equivalent in effect to GPy's ``safe_exp`` (used throughout the reference
+    likelihoods): saturates instead of producing inf.
+    """
+    lim = np.log(np.finfo(jnp.result_type(x)).max) - 1.0
+    return jnp.exp(jnp.clip(x, -jnp.inf, lim))
+
+
+def safe_square(x):
+    lim = np.sqrt(np.finfo(jnp.result_type(x)).max) / 2.0
+    return jnp.square(jnp.clip(x, -lim, lim))
+
+
+@functools.lru_cache(maxsize=None)
+def _var_exp_engine(lik):
+    return quadrature.make_var_exp(lik.logpdf, J=lik.dim_f, T=lik.T_var_exp)
+
+
+@functools.lru_cache(maxsize=None)
+def _predictive_engine(lik):
+    return quadrature.make_predictive(
+        lik.conditional_moments, dim_p=lik.dim_p, J=lik.dim_f, T=lik.T_pred)
+
+
+from typing import ClassVar
+
+
+@dataclasses.dataclass(frozen=True)
+class Likelihood:
+    """Base class; subclasses set the class attributes and ``logpdf``."""
+
+    # metadata — reference ``get_metadata()`` triple (dim_y, dim_f, dim_p)
+    dim_y: ClassVar[int] = 1
+    dim_f: ClassVar[int] = 1
+    dim_p: ClassVar[int] = 1
+    # GH nodes: GPy default T=20; multi-latent var_exp uses T=10 (SURVEY §2b)
+    T_var_exp: ClassVar[int] = quadrature.DEFAULT_T
+    T_pred: ClassVar[int] = quadrature.DEFAULT_T
+
+    # ---- to be provided by subclasses -----------------------------------
+    def logpdf(self, f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Scalar log p(y | f); f: (dim_f,), y: (dim_y,)."""
+        raise NotImplementedError
+
+    def conditional_moments(self, f: jnp.ndarray):
+        """(mean, var) of y | f, each (dim_p,)."""
+        raise NotImplementedError
+
+    def sample(self, key, F: jnp.ndarray) -> jnp.ndarray:
+        """One observation per row of F: (N, dim_f) -> (N, dim_y)."""
+        raise NotImplementedError
+
+    # ---- generic machinery ----------------------------------------------
+    def get_metadata(self):
+        return self.dim_y, self.dim_f, self.dim_p
+
+    def ismulti(self) -> bool:
+        return False
+
+    def logpdf_batch(self, F: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+        """(N, dim_f), (N, dim_y) -> (N,)."""
+        return jax.vmap(self.logpdf)(F, Y)
+
+    def var_exp(self, Y, M, V):
+        """E_{N(f; M, V)}[log p(Y | f)] per data point -> (N,)."""
+        return _var_exp_engine(self)(Y, M, V)
+
+    def var_exp_derivatives(self, Y, M, V):
+        """(dVE/dM, dVE/dV), each (N, dim_f) — reference gradient forms."""
+        _, vjp = jax.vjp(lambda m, v: self.var_exp(Y, m, v), M, V)
+        ones = jnp.ones((M.shape[0],), dtype=M.dtype)
+        return vjp(ones)
+
+    def predictive(self, M, V):
+        """Observation-space predictive moments -> ((N, dim_p), (N, dim_p))."""
+        return _predictive_engine(self)(M, V)
+
+    def log_predictive(self, key, Ytest, M_star, V_star, num_samples: int):
+        """Monte-Carlo log-predictive density (reference semantics, including
+        its extra 1/num_samples factor; see ops/quadrature.mc_log_predictive).
+        """
+        return quadrature.mc_log_predictive(
+            self.logpdf, key, Ytest, M_star, V_star, num_samples)

@@ -1,0 +1,83 @@
+"""Categorical(K) likelihood via logistic-softmax with an implicit base class.
+
+Behavioral contract from reference likelihoods/categorical.py:13-295:
+K classes are driven by K-1 latent functions; class probabilities are
+p_k = e^{f_k} / (1 + sum_j e^{f_j}) for k < K and p_K = 1 / (1 + sum_j e^{f_j}),
+then clipped to [1e-9, 1-1e-9] and renormalized (:37-46).  Labels are
+1-indexed: y in {1, ..., K} (:77-87).  var_exp uses a (K-1)-dim
+tensor-product GH grid with T=10 nodes (:130-170) — kept for oracle parity;
+at large K prefer a smaller T or an MC estimator (the grid is T^(K-1)).
+``predictive`` returns the K-1 class-probability means; the predictive
+variance is not implemented in the reference (:264 "NOT IMPLEMENTED") and is
+returned as zeros here likewise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
+from hetmogp_tpu.ops import quadrature
+
+
+@dataclasses.dataclass(frozen=True)
+class Categorical(Likelihood):
+    K: int = 3
+
+    @property
+    def dim_f(self):  # type: ignore[override]
+        return self.K - 1
+
+    @property
+    def dim_p(self):  # type: ignore[override]
+        return self.K - 1
+
+    @property
+    def T_var_exp(self):  # type: ignore[override]
+        return quadrature.MULTI_T
+
+    @property
+    def T_pred(self):  # type: ignore[override]
+        return quadrature.MULTI_T
+
+    def ismulti(self) -> bool:
+        return True
+
+    def _probs(self, f):
+        """Full K-vector of clipped, renormalized class probabilities."""
+        ef = safe_exp(f)
+        den = 1.0 + jnp.sum(ef)
+        p = jnp.concatenate([ef / den, jnp.ones((1,), f.dtype) / den])
+        p = jnp.clip(p, 1e-9, 1.0 - 1e-9)
+        return p / jnp.sum(p)
+
+    def logpdf(self, f, y):
+        # y is a 1-indexed class label (reference onehot, categorical.py:77-82)
+        p = self._probs(f)
+        onehot = (jnp.arange(1, self.K + 1, dtype=y.dtype) == y[0]).astype(f.dtype)
+        return jnp.sum(onehot * jnp.log(p))
+
+    def conditional_moments(self, f):
+        # mean over dim_p = first K-1 class probabilities (rho_k, :89-100);
+        # conditional variance unused (predictive variance unimplemented
+        # upstream, :264) — zeros keep the generic engine's output at zero
+        # only for the variance channel that parity requires.
+        ef = safe_exp(f)
+        rho = ef / (1.0 + jnp.sum(ef))
+        rho = jnp.clip(rho, 1e-9, 1.0 - 1e-9)
+        rho = rho / jnp.sum(rho)
+        return rho, jnp.zeros_like(rho)
+
+    def predictive(self, M, V):
+        mean, _ = super().predictive(M, V)
+        # E[rho]^2 - E[rho^2] cross-terms are dropped upstream; variance is
+        # reported as zeros (reference categorical.py:256-269).
+        return mean, jnp.zeros_like(mean)
+
+    def sample(self, key, F):
+        logits = jnp.concatenate([F, jnp.zeros((F.shape[0], 1), F.dtype)], axis=1)
+        labels = jax.random.categorical(key, logits, axis=-1) + 1
+        return labels[:, None].astype(F.dtype)

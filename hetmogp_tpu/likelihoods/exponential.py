@@ -1,0 +1,36 @@
+"""Exponential likelihood, scale b = e^{-f}.
+
+Behavioral contract from reference likelihoods/exponential.py:11-143:
+b = clip(e^{-f}, 1e-9, 1e9) (:28-32); logpdf = -log b - y/b; 1-D GH var_exp
+with T=20 (:70-99); predictive mean/variance b, b^2 via quadrature
+(:101-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp, safe_square
+
+
+def _scale(f):
+    return jnp.clip(safe_exp(-f), 1e-9, 1e9)
+
+
+@dataclasses.dataclass(frozen=True)
+class Exponential(Likelihood):
+
+    def logpdf(self, f, y):
+        b = _scale(f[0])
+        return -jnp.log(b) - y[0] / b
+
+    def conditional_moments(self, f):
+        b = _scale(f[:1])
+        return b, safe_square(b)
+
+    def sample(self, key, F):
+        b = _scale(F[:, :1])
+        return b * jax.random.exponential(key, b.shape, dtype=F.dtype)

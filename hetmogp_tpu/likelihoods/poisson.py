@@ -1,0 +1,31 @@
+"""Poisson likelihood, rate lambda = e^f.
+
+Behavioral contract from reference likelihoods/poisson.py:15-138:
+logpdf = -e^f + y f - ln Gamma(y+1) (:31-34); 1-D GH var_exp with T=20
+(:66-79); predictive via quadrature of mean/variance = e^f (:97-112).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
+
+
+@dataclasses.dataclass(frozen=True)
+class Poisson(Likelihood):
+
+    def logpdf(self, f, y):
+        ef = safe_exp(f[0])
+        return -ef + y[0] * f[0] - jax.scipy.special.gammaln(y[0] + 1.0)
+
+    def conditional_moments(self, f):
+        lam = safe_exp(f[:1])
+        return lam, lam
+
+    def sample(self, key, F):
+        lam = safe_exp(F[:, :1])
+        return jax.random.poisson(key, lam).astype(F.dtype)

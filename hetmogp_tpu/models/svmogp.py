@@ -1,0 +1,163 @@
+"""User-facing SVMOGP model.
+
+API mirror of the reference ``SVMOGP`` class (svmogp.py:16-469) minus the
+GPy/paramz machinery: the model is a thin stateful wrapper around an
+immutable (config, params) pair plus the dataset; all math lives in pure
+functions (models/elbo.py, models/predict.py) so everything stays jittable
+and shardable.
+
+Usage (reference README.md:20-38 flow):
+
+    likelihoods = HetLikelihood([HetGaussian(), Bernoulli()])
+    cfg = ModelConfig(likelihoods=tuple(likelihoods.likelihoods_list),
+                      num_latent=2, num_inducing=20, input_dim=1)
+    model = SVMOGP(cfg, X_list, Y_list, Z, key=jax.random.PRNGKey(0))
+    model.fit_vem(vem_iters=5)             # batch VEM (L-BFGS)
+    m, v = model.predictive_new(Xnew, output_function_ind=0)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu.config import ModelConfig, TrainConfig
+from hetmogp_tpu.models import elbo as elbo_mod
+from hetmogp_tpu.models import predict as predict_mod
+from hetmogp_tpu.models.params import SVMOGPParams, init_params
+
+
+class SVMOGP:
+    def __init__(self, config: ModelConfig, X: Sequence, Y: Sequence,
+                 Z, *, key=None, params: Optional[SVMOGPParams] = None,
+                 W=None, lengthscale=1.0, variance=1.0):
+        self.config = config
+        self.Xmulti_all = [np.asarray(x) for x in X]
+        self.Ymulti_all = [np.asarray(y) if np.asarray(y).ndim == 2
+                           else np.asarray(y)[:, None] for y in Y]
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            params = init_params(key, config, Z, W=W, lengthscale=lengthscale,
+                                 variance=variance)
+        self.params = params
+        self.elbo_history = np.zeros((0,))
+
+    # ---- reference-parity accessors -------------------------------------
+    @property
+    def num_inducing(self) -> int:
+        return self.config.num_inducing
+
+    @property
+    def num_latent_funcs(self) -> int:
+        return self.config.num_latent
+
+    @property
+    def num_output_funcs(self) -> int:
+        return self.config.num_output_functions
+
+    @property
+    def Y_metadata(self) -> dict:
+        return self.config.metadata()
+
+    # ---- objective -------------------------------------------------------
+    def log_likelihood(self) -> float:
+        """Full-data ELBO (reference ``log_likelihood``, svmogp.py:82-83)."""
+        from hetmogp_tpu.data import full_batch
+
+        data, scales = full_batch(self.Xmulti_all, self.Ymulti_all,
+                                  dtype=self.config.np_dtype)
+        e, _ = predict_mod.jitted_elbo(self.config)(
+            self.params, data, jnp.asarray(scales, self.config.np_dtype))
+        return float(e)
+
+    # ---- training --------------------------------------------------------
+    def fit_vem(self, train_config: Optional[TrainConfig] = None,
+                vem_iters: Optional[int] = None, verbose: bool = False):
+        """Batch VEM (reference vem_algorithm stochastic=False)."""
+        import dataclasses
+
+        from hetmogp_tpu import train as train_mod
+
+        tc = train_config or TrainConfig()
+        if vem_iters is not None:
+            tc = dataclasses.replace(tc, vem_iters=vem_iters)
+        self.params, hist = train_mod.vem_algorithm(
+            self.params, self.config, self.Xmulti_all, self.Ymulti_all,
+            train_config=tc, verbose=verbose)
+        self.elbo_history = np.concatenate([self.elbo_history, hist])
+        return self
+
+    def fit_svi(self, batch_size, num_steps: int,
+                train_config: Optional[TrainConfig] = None,
+                vem: bool = True, callback=None):
+        """Stochastic SVI (reference vem_algorithm stochastic=True)."""
+        from hetmogp_tpu import train as train_mod
+        from hetmogp_tpu.data import MinibatchStream
+
+        tc = train_config or TrainConfig()
+        stream = MinibatchStream(self.Xmulti_all, self.Ymulti_all, batch_size,
+                                 shuffle=tc.shuffle, seed=tc.seed,
+                                 dtype=self.config.np_dtype)
+        self.params, hist = train_mod.svi_fit(
+            self.params, self.config, tc, stream, num_steps, vem=vem,
+            callback=callback)
+        self.elbo_history = np.concatenate([self.elbo_history, hist])
+        return self
+
+    # ---- prediction (reference svmogp.py:219-370) ------------------------
+    def predict_u(self, Xnew, latent_function_ind: Optional[int] = None):
+        return predict_mod.predict_latent_u(self.params, self.config, Xnew,
+                                            latent_function_ind)
+
+    def predictive_new(self, Xnew, output_function_ind: int = 0):
+        m, v = predict_mod.predict_f(self.params, self.config, Xnew,
+                                     output_function_ind)
+        return np.asarray(m)[:, None], np.asarray(v)[:, None]
+
+    def predict_f_tasks(self, X_list):
+        return predict_mod.predict_f_all(self.params, self.config, X_list)
+
+    def predictive(self, Xpred: Sequence):
+        return predict_mod.predictive(self.params, self.config, Xpred)
+
+    def negative_log_predictive(self, Xtest, Ytest, num_samples: int = 1000,
+                                key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return float(predict_mod.negative_log_predictive(
+            self.params, self.config, key, Xtest, Ytest, num_samples))
+
+    # ---- plotting (reference svmogp.py:372-469) --------------------------
+    def plot_f(self, dim: int = 0, num_points: int = 200, ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 6))
+        f_index = self.config.function_index
+        for d in range(self.num_output_funcs):
+            Xt = self.Xmulti_all[f_index[d]]
+            Xp = np.linspace(Xt[:, dim].min(), Xt[:, dim].max(), num_points)[:, None]
+            m, v = predict_mod.predict_f(self.params, self.config, Xp, d)
+            m, s = np.asarray(m), np.sqrt(np.asarray(v))
+            ax.plot(Xp[:, 0], m, "r-", alpha=0.5)
+            ax.fill_between(Xp[:, 0], m - 2 * s, m + 2 * s, alpha=0.15)
+        return ax
+
+    def plot_pred(self, Xpred, task: int = 0, ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 6))
+        m_pred, v_pred = self.predictive(Xpred)
+        Xp = np.asarray(Xpred[task])[:, 0]
+        m = np.asarray(m_pred[task])
+        s = np.sqrt(np.maximum(np.asarray(v_pred[task]), 0.0))
+        ax.plot(np.asarray(self.Xmulti_all[task])[:, 0],
+                self.Ymulti_all[task][:, 0], "b+", alpha=0.5)
+        for j in range(m.shape[1]):
+            ax.plot(Xp, m[:, j], "k-")
+            ax.plot(Xp, m[:, j] + 2 * s[:, j], "k--", alpha=0.5)
+            ax.plot(Xp, m[:, j] - 2 * s[:, j], "k--", alpha=0.5)
+        return ax

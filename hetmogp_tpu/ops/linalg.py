@@ -1,0 +1,141 @@
+"""Dense linear-algebra primitives for the sparse variational LMC model.
+
+TPU-native replacements for the GPy/scipy symbols the reference leans on
+(SURVEY.md §2b): ``jitchol`` (GPy linalg, used at reference util.py:198),
+``flat_to_triang``/``triang_to_flat`` (GPy choleskies, used at reference
+svmogp_inf.py:118,176-178), ``dpotrs`` (svmogp_inf.py:214) and ``dtrmm``
+(svmogp_inf.py:217).  ``dpotri`` (explicit inverse, util.py:199) has no
+equivalent here on purpose — the whitened path never forms an inverse and
+the un-whitened path uses Cholesky solves.
+
+Everything is batched over the leading Q axis so XLA can tile the
+per-latent-GP Choleskys and triangular solves onto the MXU in one shot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tril_indices(m: int):
+    """Row-major lower-triangle index order: (0,0),(1,0),(1,1),(2,0),...
+
+    Matches GPy ``choleskies._flat_to_triang_pure`` enumeration so packed
+    vectors interchange with reference checkpoints.
+    """
+    return np.tril_indices(m)
+
+
+def pack_tril(L: jnp.ndarray) -> jnp.ndarray:
+    """(..., M, M) lower-triangular -> (..., M(M+1)/2) flat packing."""
+    m = L.shape[-1]
+    rows, cols = tril_indices(m)
+    return L[..., rows, cols]
+
+
+def unpack_tril(flat: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(..., M(M+1)/2) -> (..., M, M) lower-triangular (zeros above diag)."""
+    rows, cols = tril_indices(m)
+    out = jnp.zeros(flat.shape[:-1] + (m, m), dtype=flat.dtype)
+    return out.at[..., rows, cols].set(flat)
+
+
+def tril_param(L: jnp.ndarray) -> jnp.ndarray:
+    """Project a dense square parameter onto its lower triangle.
+
+    Parameters are stored dense (Q, M, M) for XLA-friendly updates; every
+    consumer goes through this mask so the strictly-upper entries are inert.
+    """
+    return jnp.tril(L)
+
+
+def _chol_ok(L: jnp.ndarray) -> jnp.ndarray:
+    """Per-batch success flag for a batched Cholesky (Q, M, M) -> (Q,)."""
+    return jnp.isfinite(L).all(axis=(-2, -1))
+
+
+def jitchol(K: jnp.ndarray, jitter: float = 0.0, adaptive: bool = True,
+            maxtries: int = 5) -> jnp.ndarray:
+    """Batched Cholesky with escalating jitter on failure.
+
+    Reproduces GPy's ``jitchol`` policy (start at jitter 0, escalate
+    mean(diag) * 1e-6 * 10^i up to ``maxtries``) in a jit- and
+    grad-compatible form: the per-batch jitter *level* is found under
+    ``stop_gradient`` with a bounded ``lax.while_loop`` (whose predicate is
+    almost always false after the first try), then a single differentiable
+    Cholesky of K + jitter*I is returned, so ``jax.grad`` flows through the
+    final factorization only.
+
+    Args:
+      K: (..., M, M) SPD matrices (any number of leading batch dims).
+      jitter: base jitter added unconditionally (0.0 matches GPy's first try).
+      adaptive: if False, a single Cholesky of K + jitter*I is returned.
+    """
+    m = K.shape[-1]
+    eye = jnp.eye(m, dtype=K.dtype)
+    K0 = K + jitter * eye if jitter else K
+    if not adaptive:
+        return jnp.linalg.cholesky(K0)
+
+    def find_jitter(K_sg):
+        batch_shape = K_sg.shape[:-2]
+        diag_mean = jnp.mean(jnp.diagonal(K_sg, axis1=-2, axis2=-1), axis=-1)
+        jit0 = jnp.zeros(batch_shape, K_sg.dtype)
+
+        def cond(state):
+            i, jit, L = state
+            return jnp.logical_and(i < maxtries, ~_chol_ok(L).all())
+
+        def body(state):
+            i, jit, L = state
+            jit_i = diag_mean * (1e-6 * (10.0 ** i))
+            ok = _chol_ok(L)
+            jit_new = jnp.where(ok, jit, jit_i)
+            L_try = jnp.linalg.cholesky(K_sg + jit_new[..., None, None] * eye)
+            L_new = jnp.where(ok[..., None, None], L, L_try)
+            return i + 1.0, jit_new, L_new
+
+        L0 = jnp.linalg.cholesky(K_sg)
+        _, jit, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), K_sg.dtype), jit0, L0))
+        return jit
+
+    jit = jax.lax.stop_gradient(find_jitter(jax.lax.stop_gradient(K0)))
+    return jnp.linalg.cholesky(K0 + jit[..., None, None] * eye)
+
+
+def solve_tri(L: jnp.ndarray, B: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
+    """Batched lower-triangular solve: L X = B (or L^T X = B if trans).
+
+    L: (..., M, M) lower-triangular; B: (..., M, N).
+    """
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1 if trans else 0)
+
+
+def cho_solve_batched(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) X = B given lower Cholesky factors; batched.
+
+    Replaces GPy ``dpotrs`` (reference svmogp_inf.py:214).
+    """
+    return solve_tri(L, solve_tri(L, B), trans=True)
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    """log|A| from A = L L^T; batched over leading dims -> (...,)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    """diag(A S A^T) with S = L L^T, batched: (..., N, M),( ..., M, M) -> (..., N).
+
+    The reference materializes the full N x N matrix S_fd
+    (svmogp_inf.py:209,219) although training only ever consumes its
+    diagonal; here only the diagonal is formed.
+    """
+    AL = A @ L
+    return jnp.sum(jnp.square(AL), axis=-1)

@@ -1,0 +1,351 @@
+"""Training drivers: stochastic SVI, batch VEM, natural gradients.
+
+Replaces the reference's optimizer stack (paramz L-BFGS via
+``model.optimize``, climin Adadelta via ``vem_algorithm``; util.py:284-331)
+with optax.  The paramz fix/unfix dance (util.py:294-318) becomes gradient
+masking over the parameter pytree; the stochastic VE/VM flip-flop counter
+(svmogp.py:188-199) becomes a step-indexed mask selection inside the jitted
+train step.
+
+Reference gating semantics reproduced exactly:
+* batch VEM: alternate [VE: only q_mu/q_sqrt free] / [VM: hypers + Z + W
+  free, lengthscales included] x vem_iters, inner optimizer 100 iters.
+* stochastic VEM: the reference counter runs 4 VE gradient steps, then 1 VM
+  step (svmogp.py:188-199: ve_count 0,1,2,3 are all VE; the count>2 branch
+  still computes a VE gradient before flipping).
+* kappa is always fixed (util.py:289).
+
+Natural gradients (the north-star extra): for whitened q(u), the NGD step in
+(mean, covariance) natural parameters; with a Gaussian likelihood and step
+1.0 it lands exactly on the optimal q(u) — tested in
+tests/test_natgrad.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hetmogp_tpu.config import ModelConfig, TrainConfig
+from hetmogp_tpu.models import elbo as elbo_mod
+from hetmogp_tpu.models.params import SVMOGPParams
+from hetmogp_tpu.ops import linalg
+
+
+# ---------------------------------------------------------------------------
+# gradient masks (the fix/unfix mechanism)
+# ---------------------------------------------------------------------------
+
+def ve_mask(params: SVMOGPParams) -> SVMOGPParams:
+    """VE step: only variational parameters free (util.py:296-304)."""
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return z.replace(q_mu=jnp.ones_like(params.q_mu),
+                     q_sqrt=jnp.ones_like(params.q_sqrt))
+
+
+def vm_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
+    """VM step: hypers (+ Z, W per flags) free, q(u) fixed (util.py:309-318).
+
+    kappa stays fixed always (util.py:289).
+    """
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    m = z.replace(
+        log_lengthscale=jnp.ones_like(params.log_lengthscale),
+        log_variance=jnp.ones_like(params.log_variance),
+    )
+    if train_config.learn_inducing:
+        m = m.replace(Z=jnp.ones_like(params.Z))
+    if train_config.learn_W:
+        m = m.replace(W=jnp.ones_like(params.W))
+    return m
+
+
+def all_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
+    """Joint mode (non-VEM SVI): everything but kappa free."""
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    m = ones.replace(kappa=jnp.zeros_like(params.kappa))
+    if not train_config.learn_inducing:
+        m = m.replace(Z=jnp.zeros_like(params.Z))
+    if not train_config.learn_W:
+        m = m.replace(W=jnp.zeros_like(params.W))
+    return m
+
+
+def _apply_mask(grads, mask):
+    return jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+
+
+def _blend_masks(mask_a, mask_b, take_a):
+    return jax.tree_util.tree_map(
+        lambda a, b: a * take_a.astype(a.dtype) + b * (1.0 - take_a.astype(b.dtype)),
+        mask_a, mask_b)
+
+
+# ---------------------------------------------------------------------------
+# stochastic SVI
+# ---------------------------------------------------------------------------
+
+class TrainState(NamedTuple):
+    params: SVMOGPParams
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
+    if train_config.optimizer == "adadelta":
+        # climin.Adadelta(step_rate, decay=0.9, momentum=0.9) analogue
+        return optax.chain(
+            optax.scale_by_adadelta(rho=0.9),
+            optax.trace(decay=train_config.momentum),
+            optax.scale(train_config.step_rate),
+        )
+    if train_config.optimizer in ("adam", "natgrad_adam"):
+        return optax.adam(train_config.step_rate)
+    raise ValueError(f"unknown optimizer {train_config.optimizer!r}")
+
+
+def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
+                       vem: bool = True) -> Callable:
+    """Build the (un-jitted) SVI step body.
+
+    Returns step(state, data, scales) -> (state, metrics).  VE/VM gating is
+    selected from the step counter inside the function (cycle length
+    5 = 4 VE + 1 VM, matching the reference counter).  Wrap in jax.jit
+    directly (``make_svi_step``) or with mesh shardings
+    (``parallel.make_sharded_svi_step``).
+    """
+    optimizer = make_optimizer(train_config)
+    use_natgrad = train_config.optimizer == "natgrad_adam"
+
+    def loss_fn(params, data, scales):
+        e, aux = elbo_mod.elbo_fn(params, data, scales, config)
+        return -e, aux
+
+    cycle = train_config.ve_steps_per_vm + 1
+
+    def step_fn(state: TrainState, data, scales):
+        params = state.params
+        (neg_elbo, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, data, scales)
+        if vem:
+            is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
+            mask = _blend_masks(ve_mask(params),
+                               vm_mask(params, train_config), is_ve)
+        else:
+            mask = all_mask(params, train_config)
+        if use_natgrad:
+            # NGD owns the variational params; remove them from the
+            # first-order optimizer's view.
+            mask = mask.replace(q_mu=jnp.zeros_like(params.q_mu),
+                                q_sqrt=jnp.zeros_like(params.q_sqrt))
+        grads = _apply_mask(grads, mask)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if use_natgrad:
+            if vem:
+                do_ng = (state.step % cycle) < train_config.ve_steps_per_vm
+            else:
+                do_ng = jnp.asarray(True)
+            params_ng = natgrad_update(params, data, scales, config,
+                                       train_config.natgrad_lr)
+            params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_ng, a, b), params_ng, params)
+        metrics = {"elbo": -neg_elbo, "kl": aux["kl"], "ve": aux["ve"]}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step_fn
+
+
+def make_svi_step(config: ModelConfig, train_config: TrainConfig,
+                  vem: bool = True) -> Callable:
+    """Jitted single-host SVI step; see make_svi_step_body."""
+    return jax.jit(make_svi_step_body(config, train_config, vem=vem))
+
+
+def svi_fit(params: SVMOGPParams, config: ModelConfig,
+            train_config: TrainConfig, stream, num_steps: int,
+            vem: bool = True, callback: Optional[Callable] = None):
+    """Run SVI for num_steps minibatch steps; returns (params, elbo_history).
+
+    Mirrors the reference stochastic path (util.py:321-329 + climin loop).
+    """
+    step = make_svi_step(config, train_config, vem=vem)
+    optimizer = make_optimizer(train_config)
+    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+    history = np.empty(num_steps)
+    for i in range(num_steps):
+        data, scales = stream.next()
+        state, metrics = step(state, data, jnp.asarray(scales, config.np_dtype))
+        history[i] = float(metrics["elbo"])
+        if callback is not None:
+            callback(i, metrics)
+    return state.params, history
+
+
+# ---------------------------------------------------------------------------
+# batch VEM with L-BFGS (reference util.py:292-319)
+# ---------------------------------------------------------------------------
+
+def _lbfgs_minimize(loss, params, mask, max_iters: int):
+    """Masked L-BFGS on the pytree (paramz ``optimize(max_iters=100)``
+    equivalent).  Masked coordinates have zero gradient -> zero update."""
+    opt = optax.lbfgs()
+
+    def masked_loss(p):
+        return loss(p)
+
+    value_and_grad = jax.value_and_grad(masked_loss)
+
+    @jax.jit
+    def one(params, opt_state):
+        value, grads = value_and_grad(params)
+        grads = _apply_mask(grads, mask)
+        updates, opt_state = opt.update(
+            grads, opt_state, params, value=value, grad=grads,
+            value_fn=masked_loss)
+        updates = _apply_mask(updates, mask)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, value
+
+    opt_state = opt.init(params)
+    value = None
+    for _ in range(max_iters):
+        params, opt_state, value = one(params, opt_state)
+    return params, value
+
+
+def vem_algorithm(params: SVMOGPParams, config: ModelConfig, X_list, Y_list,
+                  train_config: Optional[TrainConfig] = None,
+                  stochastic: bool = False, stream=None,
+                  num_steps: Optional[int] = None, verbose: bool = False):
+    """Variational-EM driver, reference ``vem_algorithm`` (util.py:284-331).
+
+    Batch mode: vem_iters x [VE L-BFGS(100) then VM L-BFGS(100)].
+    Stochastic mode: delegates to svi_fit with the 4:1 VE/VM cycle.
+    Returns (params, elbo_history).
+    """
+    train_config = train_config or TrainConfig()
+    if stochastic:
+        if stream is None:
+            raise ValueError("stochastic mode needs a MinibatchStream")
+        return svi_fit(params, config, train_config, stream,
+                       num_steps or train_config.vem_iters, vem=True)
+
+    data, scales = _as_batch(X_list, Y_list, config)
+    scales = jnp.asarray(scales, config.np_dtype)
+
+    def loss(p):
+        return -elbo_mod.elbo_fn(p, data, scales, config)[0]
+
+    history = []
+    for i in range(train_config.vem_iters):
+        params, val = _lbfgs_minimize(loss, params, ve_mask(params),
+                                      train_config.batch_inner_iters)
+        history.append(-float(val))
+        if verbose:
+            print(f"iteration ({i + 1}) VE step, ELBO={-float(val):.6f}")
+        params, val = _lbfgs_minimize(loss, params,
+                                      vm_mask(params, train_config),
+                                      train_config.batch_inner_iters)
+        history.append(-float(val))
+        if verbose:
+            print(f"iteration ({i + 1}) VM step, ELBO={-float(val):.6f}")
+    return params, np.asarray(history)
+
+
+def _as_batch(X_list, Y_list, config: ModelConfig):
+    from hetmogp_tpu.data import full_batch
+
+    return full_batch(X_list, Y_list, dtype=config.np_dtype)
+
+
+# ---------------------------------------------------------------------------
+# natural gradients for whitened q(u)
+# ---------------------------------------------------------------------------
+
+def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
+    """ELBO as a function of the whitened (mean, covariance) directly.
+
+    Avoids Cholesky in the differentiated path so dELBO/dS has the clean
+    symmetric form needed for natural-parameter updates: variance terms are
+    linear in S; the KL uses slogdet (whose gradient is S^{-1}).
+    """
+    assert config.whiten, "natural gradients require the whitened parameterization"
+    Luu = elbo_mod.prior_cholesky(params, config)
+    M = config.num_inducing
+
+    ve_total = 0.0
+    for t, lik in enumerate(config.likelihoods):
+        X_t, Y_t, mask_t = data[t]
+        Kfu = _kfu(params, config, X_t)
+        kdiag = _kdiag(params, config, X_t)
+        P = jnp.swapaxes(linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2)), -1, -2)
+        mean_q = jnp.einsum("qnm,qm->qn", P, m)
+        PS = jnp.einsum("qnm,qmk->qnk", P, S)
+        gamma_q = kdiag + jnp.einsum("qnk,qnk->qn", PS, P) - jnp.sum(P * P, -1)
+        start, stop = config.task_function_slices[t]
+        Wt = params.W[:, start:stop]
+        Kt = params.kappa[:, start:stop]
+        m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
+        v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
+               + jnp.einsum("qn,qj->nj", kdiag, Kt))
+        v_F = jnp.maximum(v_F, 1e-12)
+        ve = lik.var_exp(Y_t, m_F, v_F)
+        ve_total = ve_total + scales[t] * jnp.sum(ve * mask_t)
+
+    _, logdet = jnp.linalg.slogdet(S)
+    tr = jnp.trace(S, axis1=-2, axis2=-1)
+    mah = jnp.sum(jnp.square(m), axis=-1)
+    kl = jnp.sum(0.5 * (tr + mah - M - logdet))
+    return ve_total - kl
+
+
+def _kfu(params, config, X):
+    from hetmogp_tpu.ops import kernels
+
+    return kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
+                             params.variance)
+
+
+def _kdiag(params, config, X):
+    from hetmogp_tpu.ops import kernels
+
+    return kernels.Kdiag_batched(config.kernel, X, params.variance)
+
+
+def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
+                   lr: float) -> SVMOGPParams:
+    """One natural-gradient ascent step on the whitened q(u).
+
+    Natural params theta1 = S^{-1} m, theta2 = -1/2 S^{-1}; the NGD step is
+    theta <- theta + lr * dELBO/d(expectation params), with
+    d/d-eta1 = dm - 2 dS m and d/d-eta2 = dS  (Salimbeni et al., 2018).
+    With a conjugate (Gaussian) likelihood and lr=1 this is exact CAVI.
+    """
+    Lq = jnp.tril(params.q_sqrt)
+    S = Lq @ jnp.swapaxes(Lq, -1, -2)
+    m = params.q_mu
+
+    g_m, g_S = jax.grad(_elbo_mS, argnums=(0, 1))(m, S, params, data, scales,
+                                                  config)
+    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
+
+    M = config.num_inducing
+    eye = jnp.eye(M, dtype=S.dtype)
+    S_inv = linalg.cho_solve_batched(Lq, jnp.broadcast_to(eye, S.shape))
+    theta1 = jnp.einsum("qmk,qk->qm", S_inv, m)
+
+    d_eta1 = g_m - 2.0 * jnp.einsum("qmk,qk->qm", g_S, m)
+    theta1_new = theta1 + lr * d_eta1
+    # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD; lr controls this)
+    A = S_inv - 2.0 * lr * g_S
+    L_A = linalg.jitchol(A)
+    S_new = linalg.cho_solve_batched(L_A, jnp.broadcast_to(eye, S.shape))
+    m_new = jnp.einsum("qmk,qk->qm", S_new, theta1_new)
+    L_new = linalg.jitchol(S_new)
+    return params.replace(q_mu=m_new, q_sqrt=L_new)

@@ -1,0 +1,22 @@
+"""Test session setup.
+
+Forces CPU with 8 virtual devices (sharding tests exercise the data-parallel
+path without a TPU pod) and enables float64 so oracle-parity tolerances of
+1e-6..1e-9 are meaningful (SURVEY.md §7 "Hard parts").
+
+Must run before anything imports jax.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (TPU tunnel);
+# override at config level so tests run on the 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,194 @@
+"""Golden test: the JAX ELBO must match the NumPy reference-equation oracle.
+
+This is the §4 test-pyramid keystone (SURVEY.md): same parameters, same
+data -> ELBO equal to 1e-9 (well inside the 1e-6 north-star tolerance), for
+both the un-whitened parameterization (same coordinates as the oracle) and
+the whitened one (transformed coordinates, invariant ELBO).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu import likelihoods as L
+from hetmogp_tpu.config import ModelConfig
+from hetmogp_tpu.models import elbo as elbo_mod
+from hetmogp_tpu.models.params import SVMOGPParams
+from tests import oracle_numpy as oracle
+
+
+def _mixed_problem(seed=0, M=6, Q=2):
+    """Random small heterogeneous problem covering all 8 likelihoods."""
+    rng = np.random.RandomState(seed)
+    liks = (L.Gaussian(sigma=1.0), L.HetGaussian(), L.Bernoulli(),
+            L.Categorical(K=3), L.Beta(), L.Gamma(), L.Exponential(),
+            L.Poisson())
+    task_specs = [
+        (oracle.logpdf_gaussian, 1, 20),
+        (oracle.logpdf_hetgaussian, 2, 20),
+        (oracle.logpdf_bernoulli, 1, 20),
+        (lambda F, y: oracle.logpdf_categorical(F, y, 3), 2, 10),
+        (oracle.logpdf_beta, 2, 10),
+        (oracle.logpdf_gamma, 2, 10),
+        (oracle.logpdf_exponential, 1, 20),
+        (oracle.logpdf_poisson, 1, 20),
+    ]
+    gens = [
+        lambda n: rng.randn(n, 1),
+        lambda n: rng.randn(n, 1),
+        lambda n: (rng.rand(n, 1) > 0.4).astype(float),
+        lambda n: rng.randint(1, 4, (n, 1)).astype(float),
+        lambda n: np.clip(rng.rand(n, 1), 0.05, 0.95),
+        lambda n: rng.gamma(2.0, 1.0, (n, 1)) + 1e-2,
+        lambda n: rng.exponential(1.0, (n, 1)) + 1e-2,
+        lambda n: rng.poisson(3.0, (n, 1)).astype(float),
+    ]
+    Ns = [9, 8, 7, 6, 5, 8, 7, 9]
+    X_list = [rng.rand(n, 1) for n in Ns]
+    Y_list = [g(n) for g, n in zip(gens, Ns)]
+    D = sum(s[1] for s in task_specs)
+
+    # well-spread Z + short lengthscales keep cond(Kuu) ~ 1e3 so the
+    # 1e-9 comparison tolerance is meaningful (at cond ~ 1e11 different but
+    # equally-valid solve orderings legitimately diverge at 1e-6)
+    Z = (np.linspace(0, 1, M)[None, :, None]
+         + 0.02 * rng.randn(Q, M, 1))
+    W = rng.randn(Q, D)
+    kappa = np.zeros((Q, D))
+    ls = 0.15 + 0.1 * rng.rand(Q, 1)
+    var = 0.5 + rng.rand(Q)
+    m_u = rng.randn(Q, M)
+    L_u = np.tril(0.3 * rng.randn(Q, M, M)) + np.eye(M)[None] * 1.0
+    scales = 1.0 + rng.rand(len(Ns))
+
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, whiten=False, dtype="float64")
+    params = SVMOGPParams(
+        Z=jnp.asarray(Z), q_mu=jnp.asarray(m_u), q_sqrt=jnp.asarray(L_u),
+        log_lengthscale=jnp.log(jnp.asarray(ls)),
+        log_variance=jnp.log(jnp.asarray(var)),
+        W=jnp.asarray(W), kappa=jnp.asarray(kappa))
+    data = tuple(elbo_mod.task_data(x, y, dtype=jnp.float64)
+                 for x, y in zip(X_list, Y_list))
+    oracle_args = dict(X_list=X_list, Y_list=Y_list, Z=Z, W=W, kappa=kappa,
+                       lengthscales=np.broadcast_to(ls, (Q, 1)),
+                       variances=var, m_u=m_u, L_u=L_u,
+                       task_specs=task_specs, scales=scales)
+    return cfg, params, data, scales, oracle_args
+
+
+def test_qf_moments_match_oracle():
+    cfg, params, data, scales, oa = _mixed_problem()
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    d_global = 0
+    for t, (_, dim_f, _) in enumerate(oa["task_specs"]):
+        m_F, v_F = elbo_mod.task_qf_moments(params, cfg, Luu, data[t].X, t)
+        for j in range(dim_f):
+            em, ev = oracle.qf_moments(
+                oa["X_list"][t], oa["Z"], oa["W"], oa["kappa"],
+                oa["lengthscales"], oa["variances"], oa["m_u"], oa["L_u"],
+                d_global + j)
+            np.testing.assert_allclose(np.asarray(m_F[:, j]), em, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(v_F[:, j]), ev, atol=1e-9)
+        d_global += dim_f
+
+
+def test_kl_matches_oracle():
+    cfg, params, data, scales, oa = _mixed_problem()
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    got = float(elbo_mod.kl_divergence(params, cfg, Luu))
+    expect = oracle.kl_divergence(oa["Z"], oa["lengthscales"], oa["variances"],
+                                  oa["m_u"], oa["L_u"])
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+
+
+def test_elbo_matches_oracle_unwhitened():
+    cfg, params, data, scales, oa = _mixed_problem()
+    got, aux = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg)
+    expect = oracle.elbo(**oa)
+    np.testing.assert_allclose(float(got), expect, rtol=1e-9, atol=1e-6)
+    assert np.isfinite(float(aux["kl"]))
+
+
+def test_elbo_invariant_under_whitening():
+    cfg, params, data, scales, oa = _mixed_problem()
+    got_u, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg)
+    cfg_w = dataclasses.replace(cfg, whiten=True)
+    params_w = elbo_mod.whiten_params(params, cfg)
+    got_w, _ = elbo_mod.elbo_fn(params_w, data, jnp.asarray(scales), cfg_w)
+    np.testing.assert_allclose(float(got_w), float(got_u), atol=1e-8)
+    # round trip
+    params_uw = elbo_mod.unwhiten_params(params_w, cfg)
+    np.testing.assert_allclose(np.asarray(params_uw.q_mu),
+                               np.asarray(params.q_mu), atol=1e-9)
+
+
+def test_elbo_gradients_match_oracle_fd():
+    """Directional derivatives of the JAX ELBO vs central differences of the
+    NumPy oracle — validates jax.grad against the reference equations.
+
+    Restricted to the analytic-likelihood parameters path (all params) on a
+    Gaussian+HetGaussian model so the oracle quadrature error doesn't pollute
+    the FD baseline.
+    """
+    rng = np.random.RandomState(7)
+    Q, M = 2, 5
+    liks = (L.Gaussian(sigma=1.0), L.HetGaussian())
+    task_specs = [(oracle.logpdf_gaussian, 1, 20), (oracle.logpdf_hetgaussian, 2, 20)]
+    Ns = [8, 7]
+    X_list = [rng.rand(n, 1) for n in Ns]
+    Y_list = [rng.randn(n, 1) for n in Ns]
+    D = 3
+    Z = np.linspace(0, 1, M)[None, :, None] + 0.02 * rng.randn(Q, M, 1)
+    W = rng.randn(Q, D)
+    kappa = np.zeros((Q, D))
+    ls = 0.15 + 0.1 * rng.rand(Q, 1)
+    var = 0.5 + rng.rand(Q)
+    m_u = rng.randn(Q, M)
+    L_u = np.tril(0.2 * rng.randn(Q, M, M)) + np.eye(M)[None]
+    scales = np.ones(2)
+
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, whiten=False, dtype="float64")
+
+    def pack(m_u_, L_u_, W_, ls_, var_, Z_):
+        return SVMOGPParams(
+            Z=jnp.asarray(Z_), q_mu=jnp.asarray(m_u_),
+            q_sqrt=jnp.asarray(L_u_),
+            log_lengthscale=jnp.log(jnp.asarray(ls_)),
+            log_variance=jnp.log(jnp.asarray(var_)),
+            W=jnp.asarray(W_), kappa=jnp.asarray(kappa))
+
+    data = tuple(elbo_mod.task_data(x, y, dtype=jnp.float64)
+                 for x, y in zip(X_list, Y_list))
+
+    def jax_elbo(m_u_, L_u_, W_, ls_, var_, Z_):
+        p = pack(m_u_, L_u_, W_, ls_, var_, Z_)
+        return elbo_mod.elbo_fn(p, data, jnp.asarray(scales), cfg)[0]
+
+    def oracle_elbo(m_u_, L_u_, W_, ls_, var_, Z_):
+        return oracle.elbo(X_list, Y_list, Z_, W_, kappa, ls_, var_, m_u_,
+                           np.tril(L_u_), task_specs, scales)
+
+    grads = jax.grad(jax_elbo, argnums=(0, 1, 2, 3, 4, 5))(
+        m_u, L_u, W, ls, var, Z)
+
+    args = [m_u, L_u, W, ls, var, Z]
+    names = ["m_u", "L_u", "W", "ls", "var", "Z"]
+    h = 1e-5
+    for i, (a, name) in enumerate(zip(args, names)):
+        direction = rng.randn(*a.shape)
+        if name == "L_u":
+            direction = np.tril(direction)
+        ap = [x.copy() for x in args]
+        am = [x.copy() for x in args]
+        ap[i] = a + h * direction
+        am[i] = a - h * direction
+        fd = (oracle_elbo(*ap) - oracle_elbo(*am)) / (2 * h)
+        # chain rule: jax grads for ls/var are wrt log-params internally? no —
+        # jax_elbo takes raw ls/var, grads are raw too.
+        got = float(np.sum(np.asarray(grads[i]) * direction))
+        np.testing.assert_allclose(got, fd, rtol=2e-5, atol=1e-7,
+                                   err_msg=f"gradient mismatch for {name}")
