@@ -188,6 +188,86 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 
 
 # ---------------------------------------------------------------------------
+# fully on-device SVI (lax.scan over steps, device-resident dataset)
+# ---------------------------------------------------------------------------
+
+def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
+                      task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
+                      vem: bool = True, steps_per_call: int = 100):
+    """SVI with the data pipeline on-device: one jitted call runs
+    ``steps_per_call`` optimizer steps via ``lax.scan``, sampling each step's
+    minibatch from the HBM-resident dataset with a random gather.
+
+    This is the production TPU loop: the host-stream path
+    (``make_svi_step``) pays a host->device round trip per step (~40ms over
+    a remote tunnel vs ~ms of compute); here the whole loop compiles into
+    one XLA program.
+
+    Returns run(state, dataset, key) -> (state, elbo_history (steps,)).
+    dataset: tuple of TaskData with the FULL per-task arrays (padded rows
+    carry mask 0 and are never sampled because sampling is over [0, N_t)).
+    """
+    body_step = make_svi_step_body(config, train_config, vem=vem)
+    scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
+
+    def sample_batch(key, dataset):
+        batch = []
+        keys = jax.random.split(key, len(dataset))
+        for t, td in enumerate(dataset):
+            idx = jax.random.randint(keys[t], (batch_sizes[t],), 0,
+                                     task_sizes[t])
+            batch.append(elbo_mod.TaskData(
+                X=jnp.take(td.X, idx, axis=0),
+                Y=jnp.take(td.Y, idx, axis=0),
+                mask=jnp.take(td.mask, idx, axis=0)))
+        return tuple(batch)
+
+    def run(state: TrainState, dataset, key):
+        def body(carry, _):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            batch = sample_batch(sub, dataset)
+            state, metrics = body_step(state, batch,
+                                       scales.astype(config.np_dtype))
+            return (state, key), metrics["elbo"]
+
+        (state, _), elbos = jax.lax.scan(body, (state, key), None,
+                                         length=steps_per_call)
+        return state, elbos
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
+                      train_config: TrainConfig, X_list, Y_list,
+                      batch_sizes, num_steps: int, *, key=None,
+                      vem: bool = True, steps_per_call: int = 100):
+    """Convenience wrapper over make_scan_trainer; returns (params, history)."""
+    from hetmogp_tpu.data import full_batch
+
+    if isinstance(batch_sizes, int):
+        batch_sizes = tuple([batch_sizes] * len(X_list))
+    key = key if key is not None else jax.random.PRNGKey(train_config.seed)
+    dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype)
+    dataset = jax.device_put(dataset)
+    task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
+    runner = make_scan_trainer(config, train_config, task_sizes,
+                               tuple(batch_sizes), vem=vem,
+                               steps_per_call=steps_per_call)
+    optimizer = make_optimizer(train_config)
+    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+    chunks = []
+    done = 0
+    while done < num_steps:
+        key, sub = jax.random.split(key)
+        state, elbos = runner(state, dataset, sub)
+        chunks.append(np.asarray(elbos))
+        done += steps_per_call
+    history = np.concatenate(chunks)[:num_steps]
+    return state.params, history
+
+
+# ---------------------------------------------------------------------------
 # batch VEM with L-BFGS (reference util.py:292-319)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,115 @@
+"""Prediction paths vs the NumPy oracle + reference-semantics checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu import likelihoods as L
+from hetmogp_tpu.config import ModelConfig
+from hetmogp_tpu.models import predict as predict_mod
+from hetmogp_tpu.models.params import SVMOGPParams
+from hetmogp_tpu.models.svmogp import SVMOGP
+from tests import oracle_numpy as oracle
+
+
+def _setup(seed=0, M=6, Q=2):
+    rng = np.random.RandomState(seed)
+    liks = (L.Gaussian(sigma=0.6), L.Bernoulli())
+    D = 2
+    Z = np.linspace(0, 1, M)[None, :, None] + 0.02 * rng.randn(Q, M, 1)
+    W = rng.randn(Q, D)
+    ls = 0.15 + 0.1 * rng.rand(Q, 1)
+    var = 0.5 + rng.rand(Q)
+    m_u = rng.randn(Q, M)
+    L_u = np.tril(0.3 * rng.randn(Q, M, M)) + np.eye(M)[None]
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, whiten=False, dtype="float64")
+    params = SVMOGPParams(
+        Z=jnp.asarray(Z), q_mu=jnp.asarray(m_u), q_sqrt=jnp.asarray(L_u),
+        log_lengthscale=jnp.log(jnp.asarray(ls)),
+        log_variance=jnp.log(jnp.asarray(var)),
+        W=jnp.asarray(W), kappa=jnp.zeros((Q, D)))
+    oa = dict(Z=Z, W=W, kappa=np.zeros((Q, D)), lengthscales=ls,
+              variances=var, m_u=m_u, L_u=L_u)
+    return cfg, params, oa
+
+
+def test_predict_f_matches_oracle_qf_moments():
+    """predictive_new semantics == q(f_d) moments at Xnew (the reference's
+    Woodbury round-trip is the identity; svmogp.py:280-306)."""
+    cfg, params, oa = _setup()
+    rng = np.random.RandomState(3)
+    Xnew = rng.rand(15, 1)
+    for d in range(2):
+        m, v = predict_mod.predict_f(params, cfg, Xnew, d)
+        em, ev = oracle.qf_moments(Xnew, oa["Z"], oa["W"], oa["kappa"],
+                                   oa["lengthscales"], oa["variances"],
+                                   oa["m_u"], oa["L_u"], d)
+        np.testing.assert_allclose(np.asarray(m), em, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v), ev, atol=1e-9)
+
+
+def test_predict_latent_u_prior_limit():
+    """With q(u) = prior (m=0, S=Kuu in unwhitened coords), the latent-u
+    posterior at any X must reduce to the prior: mean 0, var = Kdiag."""
+    cfg, params, oa = _setup()
+    Q, M = 2, 6
+    _, Luu, _ = oracle.latent_funs_cov(oa["Z"], oa["lengthscales"],
+                                       oa["variances"])
+    params_prior = params.replace(q_mu=jnp.zeros((Q, M)),
+                                  q_sqrt=jnp.asarray(Luu))
+    Xnew = np.random.RandomState(4).rand(9, 1)
+    mean, var = predict_mod.predict_latent_u(params_prior, cfg, Xnew)
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.tile(oa["variances"][None, :], (9, 1)),
+                               atol=1e-9)
+
+
+def test_whitened_predictions_match_unwhitened():
+    import dataclasses
+
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    cfg, params, oa = _setup()
+    cfg_w = dataclasses.replace(cfg, whiten=True)
+    params_w = elbo_mod.whiten_params(params, cfg)
+    Xnew = np.random.RandomState(5).rand(11, 1)
+    for d in range(2):
+        m_u_, v_u_ = predict_mod.predict_f(params, cfg, Xnew, d)
+        m_w, v_w = predict_mod.predict_f(params_w, cfg_w, Xnew, d)
+        np.testing.assert_allclose(np.asarray(m_w), np.asarray(m_u_), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_u_), atol=1e-9)
+
+
+def test_model_class_end_to_end_api():
+    rng = np.random.RandomState(6)
+    n = 40
+    X_list = [np.sort(rng.rand(n, 1), 0), np.sort(rng.rand(n, 1), 0)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) < 0.5).astype(float)]
+    cfg = ModelConfig(likelihoods=(L.Gaussian(sigma=0.6), L.Bernoulli()),
+                      num_latent=2, num_inducing=6, input_dim=1,
+                      dtype="float64")
+    model = SVMOGP(cfg, X_list, Y_list, np.linspace(0, 1, 6)[:, None],
+                   key=jax.random.PRNGKey(0), lengthscale=0.3)
+    assert np.isfinite(model.log_likelihood())
+
+    md = model.Y_metadata
+    np.testing.assert_array_equal(md["function_index"], [0, 1])
+
+    Xp = np.linspace(0, 1, 20)[:, None]
+    m, v = model.predictive_new(Xp, output_function_ind=1)
+    assert m.shape == (20, 1) and (v >= 0).all()
+
+    mp, vp = model.predictive([Xp, Xp])
+    assert mp[0].shape == (20, 1) and mp[1].shape == (20, 1)
+    # Gaussian observation variance >= sigma^2
+    assert (np.asarray(vp[0]) >= 0.6 ** 2 - 1e-9).all()
+
+    nlpd = model.negative_log_predictive([Xp, Xp],
+                                         [np.zeros((20, 1)),
+                                          np.ones((20, 1))], num_samples=64)
+    assert np.isfinite(nlpd)
+
+    mu, vu = model.predict_u(Xp)
+    assert mu.shape == (20, 2) and (vu >= 0).all()

@@ -1,0 +1,93 @@
+"""Data-parallel correctness: sharded == unsharded (SURVEY.md §4 item 5).
+
+Runs on the 8 virtual CPU devices forced by conftest.py — exercises the
+same jit-partitioned psum path a real multi-chip mesh uses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu import likelihoods as L
+from hetmogp_tpu import train as train_mod
+from hetmogp_tpu.config import ModelConfig, TrainConfig
+from hetmogp_tpu.data import full_batch
+from hetmogp_tpu.models import elbo as elbo_mod
+from hetmogp_tpu.models.params import init_params
+from hetmogp_tpu.parallel import sharding
+
+
+def _problem(n_per=64, M=8, Q=2):
+    rng = np.random.RandomState(0)
+    liks = (L.HetGaussian(), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64")
+    X_list = [rng.rand(n_per, 1), rng.rand(n_per, 1)]
+    Y_list = [rng.randn(n_per, 1), (rng.rand(n_per, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    return cfg, params, data, jnp.asarray(scales, cfg.np_dtype)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_elbo_matches_unsharded():
+    cfg, params, data, scales = _problem()
+    e_ref, aux_ref = jax.jit(
+        lambda p, d, s: elbo_mod.elbo_fn(p, d, s, cfg))(params, data, scales)
+
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    sharded = sharding.make_sharded_elbo(cfg, mesh)
+    data_sh = sharding.shard_batch(mesh, data)
+    e_sh, aux_sh = sharded(params, data_sh, scales)
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux_sh["ve"]),
+                               np.asarray(aux_ref["ve"]), rtol=1e-12)
+
+
+def test_sharded_train_step_matches_unsharded():
+    cfg, params, data, scales = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+
+    # unsharded
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    s0 = train_mod.TrainState(params, opt.init(params), jnp.asarray(0))
+    s1, m1 = step(s0, data, scales)
+
+    # sharded over 8 devices
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    sstep = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
+    s0b = train_mod.TrainState(params, opt.init(params), jnp.asarray(0))
+    data_sh = sharding.shard_batch(mesh, data)
+    s2, m2 = sstep(s0b, data_sh, scales)
+
+    np.testing.assert_allclose(float(m2["elbo"]), float(m1["elbo"]), rtol=1e-12)
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf1),
+                                   atol=1e-12)
+
+
+def test_sharded_masked_rows_are_inert():
+    """Padding rows (mask 0) must not change the sharded ELBO."""
+    cfg, params, data, scales = _problem(n_per=56)  # 56 + 8 pad = 64
+    # pad each task to 64 rows with junk + mask 0
+    padded = []
+    for td in data:
+        pad = 8
+        X = jnp.concatenate([td.X, 999.0 * jnp.ones((pad, 1), td.X.dtype)])
+        Y = jnp.concatenate([td.Y, 7.0 * jnp.ones((pad, 1), td.Y.dtype)])
+        m = jnp.concatenate([td.mask, jnp.zeros((pad,), td.mask.dtype)])
+        padded.append(elbo_mod.TaskData(X=X, Y=Y, mask=m))
+    padded = tuple(padded)
+
+    e_ref, _ = jax.jit(lambda p, d, s: elbo_mod.elbo_fn(p, d, s, cfg))(
+        params, data, scales)
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    e_pad, _ = sharding.make_sharded_elbo(cfg, mesh)(
+        params, sharding.shard_batch(mesh, padded), scales)
+    np.testing.assert_allclose(float(e_pad), float(e_ref), rtol=1e-10)

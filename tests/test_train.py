@@ -1,0 +1,127 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu import likelihoods as L
+from hetmogp_tpu import train as train_mod
+from hetmogp_tpu.config import ModelConfig, TrainConfig
+from hetmogp_tpu.data import MinibatchStream, full_batch
+from hetmogp_tpu.models.params import init_params
+
+
+def _problem(n=80, M=8, Q=2, dtype="float64"):
+    rng = np.random.RandomState(0)
+    liks = (L.Gaussian(sigma=0.5), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype=dtype)
+    X_list = [np.sort(rng.rand(n, 1), 0), np.sort(rng.rand(n, 1), 0)]
+    Y_list = [np.sin(6 * X_list[0]) + 0.2 * rng.randn(n, 1),
+              (rng.rand(n, 1) < 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.2,
+                         q_mu_scale=0.5)
+    return cfg, params, X_list, Y_list
+
+
+def test_ve_mask_freezes_hypers_vm_freezes_variational():
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.05, ve_steps_per_vm=4)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.TrainState(params, opt.init(params), jnp.asarray(0))
+
+    # steps 0-3 are VE: hypers/Z/W must not move, q must move
+    s1, _ = step(state, data, scales)
+    np.testing.assert_array_equal(np.asarray(s1.params.Z), np.asarray(params.Z))
+    np.testing.assert_array_equal(np.asarray(s1.params.W), np.asarray(params.W))
+    np.testing.assert_array_equal(np.asarray(s1.params.log_lengthscale),
+                                  np.asarray(params.log_lengthscale))
+    assert np.abs(np.asarray(s1.params.q_mu) - np.asarray(params.q_mu)).max() > 0
+
+    # step 4 is VM: q must not move, hypers must move
+    state_vm = train_mod.TrainState(params, opt.init(params), jnp.asarray(4))
+    s2, _ = step(state_vm, data, scales)
+    np.testing.assert_array_equal(np.asarray(s2.params.q_mu),
+                                  np.asarray(params.q_mu))
+    np.testing.assert_array_equal(np.asarray(s2.params.q_sqrt),
+                                  np.asarray(params.q_sqrt))
+    assert np.abs(np.asarray(s2.params.log_variance)
+                  - np.asarray(params.log_variance)).max() > 0
+    # kappa is always fixed (reference util.py:289)
+    np.testing.assert_array_equal(np.asarray(s2.params.kappa),
+                                  np.asarray(params.kappa))
+
+
+def test_svi_fit_improves_elbo():
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.02)
+    stream = MinibatchStream(X_list, Y_list, 40, shuffle=True, seed=1,
+                             dtype=cfg.np_dtype)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    e0, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales, cfg.np_dtype), cfg)
+    new_params, hist = train_mod.svi_fit(params, cfg, tc, stream, 60, vem=True)
+    e1, _ = elbo_mod.elbo_fn(new_params, data,
+                             jnp.asarray(scales, cfg.np_dtype), cfg)
+    assert float(e1) > float(e0)
+    assert len(hist) == 60 and np.isfinite(hist).all()
+
+
+def test_vem_batch_lbfgs_improves_elbo():
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(vem_iters=1, batch_inner_iters=15)
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    e0, _ = elbo_mod.elbo_fn(params, data, scales, cfg)
+    new_params, hist = train_mod.vem_algorithm(params, cfg, X_list, Y_list,
+                                               train_config=tc)
+    e1, _ = elbo_mod.elbo_fn(new_params, data, scales, cfg)
+    assert float(e1) > float(e0)
+    # VE half-step then VM half-step recorded
+    assert len(hist) == 2
+
+
+def test_scan_trainer_on_device():
+    cfg, params, X_list, Y_list = _problem(dtype="float64")
+    tc = TrainConfig(optimizer="adam", step_rate=0.02)
+    new_params, hist = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=40, num_steps=50,
+        key=jax.random.PRNGKey(2), steps_per_call=25)
+    assert hist.shape == (50,)
+    assert np.isfinite(hist).all()
+    # trend improves (compare first and last 10-step means)
+    assert hist[-10:].mean() > hist[:10].mean()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam")
+    opt = train_mod.make_optimizer(tc)
+    opt_state = opt.init(params)
+    from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, params, opt_state, step=17, extra={"note": "hi"})
+    params2, opt2, step, extra = load_checkpoint(p, params, opt_state)
+    assert step == 17 and extra == {"note": "hi"}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(opt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adadelta_optimizer_runs():
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adadelta", step_rate=0.05)
+    stream = MinibatchStream(X_list, Y_list, 40, dtype=cfg.np_dtype)
+    new_params, hist = train_mod.svi_fit(params, cfg, tc, stream, 10, vem=True)
+    assert np.isfinite(hist).all()
