@@ -65,7 +65,9 @@ class MinibatchStream:
         b = self.batch_sizes[t]
         start = self._pos[t]
         stop = min(start + b, n)
-        idx = self._order[t][start:stop]
+        # copy: the end-of-epoch in-place reshuffle below would otherwise
+        # mutate this slice (it's a view into the order array)
+        idx = self._order[t][start:stop].copy()
         self._pos[t] = stop
         if stop >= n:
             self._pos[t] = 0

@@ -145,6 +145,11 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                                 q_sqrt=jnp.zeros_like(params.q_sqrt))
         grads = _apply_mask(grads, mask)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        # mask the updates too: momentum optimizers would otherwise keep
+        # moving "fixed" parameters after a mode switch (the reference only
+        # zeroes gradients, svmogp.py:109-110, and leaks climin momentum
+        # into fixed params — a quirk not worth reproducing)
+        updates = _apply_mask(updates, mask)
         params = optax.apply_updates(params, updates)
         if use_natgrad:
             if vem:

@@ -1,0 +1,82 @@
+import numpy as np
+
+from hetmogp_tpu.data import (MinibatchStream, batch_scales, full_batch,
+                              true_f_functions, true_u_functions)
+
+
+def _xy(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, 1), rng.randn(n, 1)
+
+
+def test_batch_scales():
+    X1, Y1 = _xy(100)
+    X2, Y2 = _xy(60)
+    s = batch_scales([X1, X2], [X1[:25], X2[:30]])
+    assert s == [4.0, 2.0]
+
+
+def test_sequential_mode_cycles_in_order():
+    """shuffle=False reproduces the reference's no-op-shuffle behavior
+    (util.py:70): batches cycle sequentially forever."""
+    X, Y = _xy(10)
+    st = MinibatchStream([X], [Y], 4, shuffle=False)
+    rows = []
+    for _ in range(3):
+        (td,), scales = st.next()
+        rows.append(np.asarray(td.X)[np.asarray(td.mask) == 1.0])
+    np.testing.assert_array_equal(np.concatenate(rows), X)  # 4+4+2 = epoch
+    # next epoch starts over at the beginning
+    (td,), _ = st.next()
+    np.testing.assert_array_equal(np.asarray(td.X), X[:4])
+
+
+def test_partial_final_batch_is_masked_and_rescaled():
+    X, Y = _xy(10)
+    st = MinibatchStream([X], [Y], 4, shuffle=False)
+    st.next()
+    st.next()
+    (td,), scales = st.next()  # final 2 rows, padded to 4
+    mask = np.asarray(td.mask)
+    assert mask.sum() == 2 and td.X.shape == (4, 1)
+    # reference scale uses actual rows: N/n_real = 10/2
+    assert scales[0] == 5.0
+
+
+def test_shuffle_mode_covers_all_rows_per_epoch():
+    X, Y = _xy(12, seed=1)
+    st = MinibatchStream([X], [Y], 4, shuffle=True, seed=3)
+    seen = []
+    for _ in range(3):
+        (td,), _ = st.next()
+        seen.append(np.asarray(td.X))
+    seen = np.sort(np.concatenate(seen), axis=0)
+    np.testing.assert_array_equal(seen, np.sort(X, axis=0))
+
+
+def test_pad_multiple_for_sharding():
+    X, Y = _xy(10)
+    st = MinibatchStream([X], [Y], 6, pad_multiple=8)
+    (td,), _ = st.next()
+    assert td.X.shape[0] == 8
+    assert np.asarray(td.mask).sum() == 6
+
+
+def test_full_batch_padding():
+    X, Y = _xy(10)
+    (td,), scales = full_batch([X], [Y], pad_multiple=8)
+    assert td.X.shape[0] == 16
+    assert np.asarray(td.mask).sum() == 10
+    assert scales[0] == 1.0
+
+
+def test_toy_generators_shapes():
+    X_list = [np.linspace(0, 1, 30)[:, None], np.linspace(0, 1, 20)[:, None]]
+    U = true_u_functions(X_list, Q=3, seed=0)
+    assert U[0].shape == (30, 3) and U[1].shape == (20, 3)
+    W = np.random.RandomState(0).randn(3, 4)
+    F = true_f_functions(U, W, function_index=[0, 0, 1, 1], d_index=[0, 1, 0, 1])
+    assert F[0].shape == (30, 2) and F[1].shape == (20, 2)
+    # mixing is exact: F[t][:, j] = U[t] @ W[:, d]
+    np.testing.assert_allclose(F[0][:, 0], U[0] @ W[:, 0])
+    np.testing.assert_allclose(F[1][:, 1], U[1] @ W[:, 3])
