@@ -13,7 +13,9 @@ import os
 
 import jax
 
-_MIN_ELEMS = 1 << 22  # ~4M elements per (N, M) block before Pallas pays off
+# Measured on TPU v5e (f32, Q=4, M=1024): parity at N*M ~ 33M, 1.75x faster
+# than XLA at N*M ~ 134M (291 vs 166 GB/s end-to-end).  Auto-enable above:
+_MIN_ELEMS = 1 << 26  # ~67M elements per (N, M) block
 
 
 def _on_tpu() -> bool:
@@ -31,6 +33,8 @@ def should_use_pallas(use_pallas, X, Z) -> bool:
         return False
     forced = use_pallas is True or env in ("1", "true", "on")
     if not _on_tpu():
+        return False
+    if str(X.dtype) != "float32":  # the fused kernel is f32-only
         return False
     n, m = X.shape[0], Z.shape[1]
     big = n * m >= _MIN_ELEMS
