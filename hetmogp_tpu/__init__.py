@@ -25,6 +25,9 @@ Design versus the reference (see SURVEY.md for the full map):
 from hetmogp_tpu.config import ModelConfig, TrainConfig
 from hetmogp_tpu.likelihoods import (
     Bernoulli,
+    Dirichlet,
+    Ordinal,
+    StudentT,
     Beta,
     Categorical,
     Exponential,
@@ -49,6 +52,9 @@ __all__ = [
     "Gamma",
     "Exponential",
     "Poisson",
+    "StudentT",
+    "Ordinal",
+    "Dirichlet",
     "HetLikelihood",
     "SVMOGP",
     "SVMOGPParams",

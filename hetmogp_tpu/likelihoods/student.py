@@ -1,0 +1,47 @@
+"""Student-t likelihood with latent mean and latent log-scale.
+
+The reference ships only a constructor stub (likelihoods/student.py:12-22,
+README.md:8 "to be released"); this is the full implementation under the
+same engine contract: f1 = mean, f2 = log-scale, fixed degrees of freedom.
+
+logpdf = lgamma((v+1)/2) - lgamma(v/2) - 0.5 log(v pi) - f2
+         - (v+1)/2 * log(1 + ((y - f1) e^{-f2})^2 / v)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import ClassVar
+
+import jax
+import jax.numpy as jnp
+
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
+
+
+@dataclasses.dataclass(frozen=True)
+class StudentT(Likelihood):
+    dim_f: ClassVar[int] = 2
+    df: float = 4.0
+
+    def logpdf(self, f, y):
+        v = self.df
+        g = jax.scipy.special.gammaln
+        scale = safe_exp(f[1])
+        r = (y[0] - f[0]) / scale
+        return (g((v + 1.0) / 2.0) - g(v / 2.0)
+                - 0.5 * jnp.log(v * jnp.pi) - f[1]
+                - (v + 1.0) / 2.0 * jnp.log1p(jnp.square(r) / v))
+
+    def conditional_moments(self, f):
+        v = self.df
+        scale = safe_exp(f[1:2])
+        mean = f[:1]  # defined for df > 1
+        var = jnp.square(scale) * (v / (v - 2.0)) if v > 2.0 else \
+            jnp.full_like(scale, jnp.inf)
+        return mean, var
+
+    def sample(self, key, F):
+        scale = safe_exp(F[:, 1:2])
+        t = jax.random.t(key, self.df, F[:, :1].shape, dtype=F.dtype)
+        return F[:, :1] + scale * t

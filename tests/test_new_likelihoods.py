@@ -1,0 +1,155 @@
+"""Student-t / Ordinal / Dirichlet — full implementations of the
+distributions the reference only stubbed ("to be released", README.md:8).
+
+No reference equations exist, so the oracle here is an independent NumPy
+logpdf + the engine's own exactness identities:
+  dm VE = d/dm of the quadrature sum (exact identity),
+  dv VE = 0.5 d^2/dm^2 of the quadrature sum (exact identity for GH grids).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import special as ssp
+
+from hetmogp_tpu.likelihoods import Dirichlet, Ordinal, StudentT
+from tests import oracle_numpy as oracle
+
+
+def np_logpdf_student(F, y, df=4.0):
+    scale = np.exp(F[:, 1])
+    r = (y[:, 0] - F[:, 0]) / scale
+    return (ssp.gammaln((df + 1) / 2) - ssp.gammaln(df / 2)
+            - 0.5 * np.log(df * np.pi) - F[:, 1]
+            - (df + 1) / 2 * np.log1p(r ** 2 / df))
+
+
+def np_logpdf_ordinal(F, y, K=3):
+    b = np.linspace(-(K - 2) / 2, (K - 2) / 2, K - 1)
+    cdf = 1 / (1 + np.exp(-(b[None, :] - F)))
+    cdf = np.concatenate([np.zeros((F.shape[0], 1)), cdf,
+                          np.ones((F.shape[0], 1))], axis=1)
+    p = np.clip(np.diff(cdf, axis=1), 1e-9, 1.0)
+    out = np.zeros(F.shape[0])
+    for k in range(K):
+        out += (y[:, 0] == k + 1) * np.log(p[:, k])
+    return out
+
+
+def np_logpdf_dirichlet(F, y):
+    a = np.clip(np.exp(F), 1e-9, 1e9)
+    return (ssp.gammaln(a.sum(1)) - ssp.gammaln(a).sum(1)
+            + ((a - 1) * np.log(y)).sum(1))
+
+
+def _simplex(rng, n, K):
+    g = rng.gamma(2.0, 1.0, (n, K))
+    return g / g.sum(1, keepdims=True)
+
+
+CASES = [
+    (StudentT(df=4.0), np_logpdf_student,
+     lambda rng, n: rng.randn(n, 1), 2, 20),
+    (Ordinal(K=4), lambda F, y: np_logpdf_ordinal(F, y, 4),
+     lambda rng, n: rng.randint(1, 5, (n, 1)).astype(float), 1, 20),
+    (Dirichlet(K=3), np_logpdf_dirichlet,
+     lambda rng, n: _simplex(rng, n, 3), 3, 5),
+]
+IDS = ["StudentT", "Ordinal", "Dirichlet"]
+
+
+@pytest.mark.parametrize("lik,olp,gen,j,t", CASES, ids=IDS)
+def test_logpdf_matches_numpy(lik, olp, gen, j, t):
+    rng = np.random.RandomState(0)
+    n = 11
+    F = 0.7 * rng.randn(n, j)
+    Y = gen(rng, n)
+    got = np.asarray(lik.logpdf_batch(jnp.asarray(F), jnp.asarray(Y)))
+    np.testing.assert_allclose(got, olp(F, Y), atol=1e-10)
+
+
+@pytest.mark.parametrize("lik,olp,gen,j,t", CASES, ids=IDS)
+def test_var_exp_matches_numpy_quadrature(lik, olp, gen, j, t):
+    rng = np.random.RandomState(1)
+    n = 7
+    m = 0.5 * rng.randn(n, j)
+    v = 0.4 * rng.rand(n, j) + 0.05
+    Y = gen(rng, n)
+    got = np.asarray(lik.var_exp(jnp.asarray(Y), jnp.asarray(m), jnp.asarray(v)))
+    expect = oracle.gh_var_exp(olp, Y, m, v, t)
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+
+
+@pytest.mark.parametrize("lik,olp,gen,j,t", CASES, ids=IDS)
+def test_var_exp_derivative_identities(lik, olp, gen, j, t):
+    """dm = d(ve)/dm and dv = 0.5 d^2(ve)/dm^2 hold exactly on GH grids."""
+    rng = np.random.RandomState(2)
+    n = 5
+    m = 0.5 * rng.randn(n, j)
+    v = 0.3 * rng.rand(n, j) + 0.1
+    Y = jnp.asarray(gen(rng, n))
+    dm, dv = lik.var_exp_derivatives(Y, jnp.asarray(m), jnp.asarray(v))
+
+    h = 1e-5
+    for d in range(j):
+        mp, mm = m.copy(), m.copy()
+        mp[:, d] += h
+        mm[:, d] -= h
+        vp = np.asarray(lik.var_exp(Y, jnp.asarray(mp), jnp.asarray(v)))
+        vm = np.asarray(lik.var_exp(Y, jnp.asarray(mm), jnp.asarray(v)))
+        v0 = np.asarray(lik.var_exp(Y, jnp.asarray(m), jnp.asarray(v)))
+        np.testing.assert_allclose(np.asarray(dm)[:, d], (vp - vm) / (2 * h),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(dv)[:, d],
+                                   0.5 * (vp - 2 * v0 + vm) / h ** 2,
+                                   atol=5e-4)
+
+
+@pytest.mark.parametrize("lik,olp,gen,j,t", CASES, ids=IDS)
+def test_predictive_and_samples(lik, olp, gen, j, t):
+    rng = np.random.RandomState(3)
+    n = 8
+    m = jnp.asarray(0.5 * rng.randn(n, j))
+    v = jnp.asarray(0.3 * rng.rand(n, j) + 0.05)
+    mp, vp = lik.predictive(m, v)
+    assert mp.shape == (n, lik.dim_p) and vp.shape == (n, lik.dim_p)
+    assert np.isfinite(np.asarray(mp)).all()
+    assert (np.asarray(vp) > -1e-9).all()
+    s = lik.sample(jax.random.PRNGKey(0), jnp.asarray(0.3 * rng.randn(n, j)))
+    assert s.shape == (n, lik.dim_y)
+
+
+def test_ordinal_probs_sum_to_one():
+    lik = Ordinal(K=5)
+    f = jnp.asarray([0.3])
+    p = lik._class_probs(f)
+    np.testing.assert_allclose(float(jnp.sum(p)), 1.0, atol=1e-9)
+    assert (np.asarray(p) > 0).all()
+
+
+def test_dirichlet_predictive_mean_on_simplex():
+    lik = Dirichlet(K=3)
+    rng = np.random.RandomState(4)
+    m = jnp.asarray(0.4 * rng.randn(6, 3))
+    v = jnp.asarray(0.2 * rng.rand(6, 3) + 0.05)
+    mp, _ = lik.predictive(m, v)
+    np.testing.assert_allclose(np.asarray(mp).sum(1), 1.0, atol=1e-8)
+
+
+def test_student_in_model():
+    """StudentT slots into the full model like any other likelihood."""
+    from hetmogp_tpu import ModelConfig, SVMOGP, TrainConfig
+
+    rng = np.random.RandomState(5)
+    n = 50
+    X = np.sort(rng.rand(n, 1), 0)
+    Y = np.sin(5 * X) + 0.2 * rng.standard_t(4.0, (n, 1))
+    cfg = ModelConfig(likelihoods=(StudentT(df=4.0),), num_latent=2,
+                      num_inducing=6, input_dim=1, dtype="float64")
+    model = SVMOGP(cfg, [X], [Y], np.linspace(0, 1, 6)[:, None],
+                   key=jax.random.PRNGKey(0), lengthscale=0.3)
+    e0 = model.log_likelihood()
+    model.fit_svi(batch_size=25, num_steps=40,
+                  train_config=TrainConfig(optimizer="adam", step_rate=0.05))
+    assert model.log_likelihood() > e0
