@@ -31,7 +31,7 @@ def main():
     from hetmogp_tpu import train as train_mod
     from hetmogp_tpu.data import full_batch
     from hetmogp_tpu.models.params import init_params
-    from hetmogp_tpu.train import TrainState
+    from hetmogp_tpu.train import init_train_state
 
     liks = (HetGaussian(), Bernoulli(), Categorical(K=3), Poisson(), Gamma(),
             Exponential())
@@ -72,7 +72,7 @@ def main():
         steps_per_call=steps_per_call)
 
     optimizer = train_mod.make_optimizer(tc)
-    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+    state = init_train_state(params, cfg, optimizer, cache_luu=True)
     key = jax.random.PRNGKey(1)
 
     # warmup / compile

@@ -161,17 +161,22 @@ def kl_divergence(params: SVMOGPParams, config: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
-            scales: jnp.ndarray, config: ModelConfig):
+            scales: jnp.ndarray, config: ModelConfig, Luu=None):
     """ELBO and per-task diagnostics.
 
     Args:
       data: one TaskData per task (static length T; per-task shapes static).
       scales: (T,) minibatch scales N_full_t / N_batch_t (reference
         svmogp.py:89-90, applied at svmogp_inf.py:75-78).
+      Luu: optional precomputed prior Cholesky factors (Q, M, M).  Valid
+        only while kernel hypers and Z are unchanged — the VE-step cache
+        (train.py) exploits that 4 of 5 VEM steps freeze them, skipping
+        ~half the step cost at M=1024.
     Returns:
       (elbo, aux) with aux = {'ve': (T,), 'kl': scalar}.
     """
-    Luu = prior_cholesky(params, config)
+    if Luu is None:
+        Luu = prior_cholesky(params, config)
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]

@@ -24,7 +24,7 @@ tests/test_natgrad.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,16 @@ class TrainState(NamedTuple):
     params: SVMOGPParams
     opt_state: optax.OptState
     step: jnp.ndarray
+    # cached prior Cholesky (Q, M, M); valid while hypers/Z are frozen.
+    # None disables the VE-step cache (always recompute).
+    Luu: Any = None
+
+
+def init_train_state(params: SVMOGPParams, config: ModelConfig,
+                     optimizer: optax.GradientTransformation,
+                     cache_luu: bool = True) -> TrainState:
+    Luu = elbo_mod.prior_cholesky(params, config) if cache_luu else None
+    return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu)
 
 
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
@@ -122,18 +132,36 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
     optimizer = make_optimizer(train_config)
     use_natgrad = train_config.optimizer == "natgrad_adam"
 
-    def loss_fn(params, data, scales):
-        e, aux = elbo_mod.elbo_fn(params, data, scales, config)
+    def loss_fn(params, data, scales, Luu=None):
+        e, aux = elbo_mod.elbo_fn(params, data, scales, config, Luu=Luu)
         return -e, aux
 
     cycle = train_config.ve_steps_per_vm + 1
 
     def step_fn(state: TrainState, data, scales):
         params = state.params
-        (neg_elbo, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, data, scales)
+        use_cache = vem and state.Luu is not None
         if vem:
             is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
+        if use_cache:
+            # VE steps freeze hypers/Z, so the cached Luu is exact there and
+            # the (expensive) Cholesky + its gradient are skipped; hyper
+            # gradients from the cache-truncated graph are zeroed by the VE
+            # mask anyway.  VM steps differentiate through a fresh Cholesky.
+            def ve_branch(p):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, data, scales, jax.lax.stop_gradient(state.Luu))
+
+            def vm_branch(p):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, data, scales, None)
+
+            (neg_elbo, aux), grads = jax.lax.cond(is_ve, ve_branch,
+                                                  vm_branch, params)
+        else:
+            (neg_elbo, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, data, scales)
+        if vem:
             mask = _blend_masks(ve_mask(params),
                                vm_mask(params, train_config), is_ve)
         else:
@@ -160,8 +188,15 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                                        train_config.natgrad_lr)
             params = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(do_ng, a, b), params_ng, params)
+        if use_cache:
+            # refresh the cache after VM steps (hypers/Z moved)
+            Luu_next = jax.lax.cond(
+                is_ve, lambda p: state.Luu,
+                lambda p: elbo_mod.prior_cholesky(p, config), params)
+        else:
+            Luu_next = state.Luu
         metrics = {"elbo": -neg_elbo, "kl": aux["kl"], "ve": aux["ve"]}
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, Luu_next), metrics
 
     return step_fn
 
@@ -181,7 +216,7 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
     """
     step = make_svi_step(config, train_config, vem=vem)
     optimizer = make_optimizer(train_config)
-    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+    state = init_train_state(params, config, optimizer, cache_luu=vem)
     history = np.empty(num_steps)
     for i in range(num_steps):
         data, scales = stream.next()
@@ -260,7 +295,7 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                                tuple(batch_sizes), vem=vem,
                                steps_per_call=steps_per_call)
     optimizer = make_optimizer(train_config)
-    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+    state = init_train_state(params, config, optimizer, cache_luu=vem)
     chunks = []
     done = 0
     while done < num_steps:

@@ -125,3 +125,25 @@ def test_adadelta_optimizer_runs():
     stream = MinibatchStream(X_list, Y_list, 40, dtype=cfg.np_dtype)
     new_params, hist = train_mod.svi_fit(params, cfg, tc, stream, 10, vem=True)
     assert np.isfinite(hist).all()
+
+
+def test_luu_cache_matches_uncached_steps():
+    """VE-step Luu caching must be a pure optimization: trajectories with
+    and without the cache are identical."""
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.03)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+
+    s_cached = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    s_plain = train_mod.TrainState(params, opt.init(params), jnp.asarray(0))
+    for _ in range(7):  # crosses a VM step (cycle length 5)
+        s_cached, m1 = step(s_cached, data, scales)
+        s_plain, m2 = step(s_plain, data, scales)
+        np.testing.assert_allclose(float(m1["elbo"]), float(m2["elbo"]),
+                                   rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(s_cached.params),
+                    jax.tree_util.tree_leaves(s_plain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
