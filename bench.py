@@ -72,7 +72,8 @@ def main():
         steps_per_call=steps_per_call)
 
     optimizer = train_mod.make_optimizer(tc)
-    state = init_train_state(params, cfg, optimizer, cache_luu=True)
+    state = init_train_state(params, cfg, optimizer, cache_luu=True,
+                             fast_projection=tc.fast_projection)
     key = jax.random.PRNGKey(1)
 
     # warmup / compile

@@ -155,3 +155,9 @@ class TrainConfig:
     shuffle: bool = True  # reference cycles batches sequentially due to a
     # no-op shuffle (util.py:70); False reproduces that.
     seed: int = 0
+    # Replace per-task triangular solves with matmuls against a cached
+    # explicit triangular inverse (MXU-friendly; TPU triangular solves are
+    # sequential).  Slightly different roundoff than the solve path.
+    # EXPERIMENTAL: can destabilize long f32 runs at M~1024 once hypers
+    # drift toward ill-conditioned Kuu; the benchmark uses the solve path.
+    fast_projection: bool = False

@@ -72,7 +72,7 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig) -> jnp.ndarray:
 
 
 def latent_projections(params: SVMOGPParams, config: ModelConfig,
-                       Luu: jnp.ndarray, X: jnp.ndarray):
+                       Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None):
     """Shared per-latent projection terms at inputs X.
 
     Returns:
@@ -91,15 +91,27 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
     kdiag = kernels.Kdiag_batched(config.kernel, X, params.variance)  # (Q, N)
     Lq = jnp.tril(params.q_sqrt)  # (Q, M, M)
 
-    R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # (Q, M, N) = Luu^{-1} Kuf
-    if config.whiten:
+    if iLuu is not None:
+        # fast path: explicit triangular inverse cached by the trainer —
+        # the (Q, M, N)-sized triangular solves (sequential on TPU) become
+        # pure MXU matmuls.  Opt-in (TrainConfig.fast_projection): roundoff
+        # differs slightly from the solve path.
+        P = jnp.einsum("qnm,qkm->qnk", Kfu, iLuu)  # Kfu @ iLuu^T
+    else:
+        R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # Luu^{-1} Kuf
         P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
+    if config.whiten:
         mean_q = jnp.einsum("qnm,qm->qn", P, params.q_mu)
         gamma_q = (kdiag
                    + linalg.quad_diag(P, Lq)
                    - jnp.sum(jnp.square(P), axis=-1))
     else:
-        A = jnp.swapaxes(linalg.solve_tri(Luu, R, trans=True), -1, -2)  # (Q,N,M)
+        if iLuu is not None:
+            A = jnp.einsum("qnm,qmk->qnk", P, iLuu)  # P @ iLuu = Kfu Kuu^-1
+        else:
+            A = jnp.swapaxes(
+                linalg.solve_tri(Luu, jnp.swapaxes(P, -1, -2), trans=True),
+                -1, -2)  # (Q, N, M)
         mean_q = jnp.einsum("qnm,qm->qn", A, params.q_mu)
         gamma_q = (kdiag
                    + linalg.quad_diag(A, Lq)
@@ -108,7 +120,8 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
 
 
 def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
-                    X: jnp.ndarray, task: int, clip_variance: bool = True):
+                    X: jnp.ndarray, task: int, clip_variance: bool = True,
+                    iLuu=None):
     """Marginal moments of q(f_d) for every parameter function d of a task.
 
     Returns (m_F, v_F), each (N_t, F_t).  Mixing: m_fd = sum_q w_qd mean_q,
@@ -121,7 +134,8 @@ def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
     start, stop = config.task_function_slices[task]
     Wt = params.W[:, start:stop]  # (Q, F_t)
     Kt = params.kappa[:, start:stop]
-    mean_q, gamma_q, kdiag = latent_projections(params, config, Luu, X)
+    mean_q, gamma_q, kdiag = latent_projections(params, config, Luu, X,
+                                                iLuu=iLuu)
     m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
     v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
            + jnp.einsum("qn,qj->nj", kdiag, Kt))
@@ -161,7 +175,7 @@ def kl_divergence(params: SVMOGPParams, config: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
-            scales: jnp.ndarray, config: ModelConfig, Luu=None):
+            scales: jnp.ndarray, config: ModelConfig, Luu=None, iLuu=None):
     """ELBO and per-task diagnostics.
 
     Args:
@@ -180,7 +194,7 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        m_F, v_F = task_qf_moments(params, config, Luu, X_t, t)
+        m_F, v_F = task_qf_moments(params, config, Luu, X_t, t, iLuu=iLuu)
         ve = lik.var_exp(Y_t, m_F, v_F)  # (N_t,)
         ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
     ve_total = functools.reduce(jnp.add, ve_sums)

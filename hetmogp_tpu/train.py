@@ -97,13 +97,23 @@ class TrainState(NamedTuple):
     # cached prior Cholesky (Q, M, M); valid while hypers/Z are frozen.
     # None disables the VE-step cache (always recompute).
     Luu: Any = None
+    # cached explicit triangular inverse (TrainConfig.fast_projection)
+    iLuu: Any = None
+
+
+def _tri_inverse(Luu: jnp.ndarray) -> jnp.ndarray:
+    eye = jnp.eye(Luu.shape[-1], dtype=Luu.dtype)
+    return linalg.solve_tri(Luu, jnp.broadcast_to(eye, Luu.shape))
 
 
 def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
-                     cache_luu: bool = True) -> TrainState:
+                     cache_luu: bool = True,
+                     fast_projection: bool = False) -> TrainState:
     Luu = elbo_mod.prior_cholesky(params, config) if cache_luu else None
-    return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu)
+    iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
+    return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
+                      iLuu)
 
 
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
@@ -132,11 +142,13 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
     optimizer = make_optimizer(train_config)
     use_natgrad = train_config.optimizer == "natgrad_adam"
 
-    def loss_fn(params, data, scales, Luu=None):
-        e, aux = elbo_mod.elbo_fn(params, data, scales, config, Luu=Luu)
+    def loss_fn(params, data, scales, Luu=None, iLuu=None):
+        e, aux = elbo_mod.elbo_fn(params, data, scales, config, Luu=Luu,
+                                  iLuu=iLuu)
         return -e, aux
 
     cycle = train_config.ve_steps_per_vm + 1
+    fastp = train_config.fast_projection
 
     def step_fn(state: TrainState, data, scales):
         params = state.params
@@ -144,17 +156,25 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         if vem:
             is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
         if use_cache:
-            # VE steps freeze hypers/Z, so the cached Luu is exact there and
-            # the (expensive) Cholesky + its gradient are skipped; hyper
-            # gradients from the cache-truncated graph are zeroed by the VE
-            # mask anyway.  VM steps differentiate through a fresh Cholesky.
+            # VE steps freeze hypers/Z, so the cached Luu (and iLuu) are
+            # exact there and the expensive Cholesky (+ inverse) and their
+            # gradients are skipped; hyper gradients from the
+            # cache-truncated graph are zeroed by the VE mask anyway.  VM
+            # steps differentiate through fresh factorizations.
+            sg = jax.lax.stop_gradient
+
             def ve_branch(p):
                 return jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, data, scales, jax.lax.stop_gradient(state.Luu))
+                    p, data, scales, sg(state.Luu),
+                    sg(state.iLuu) if fastp else None)
 
             def vm_branch(p):
+                # VM steps always differentiate through the triangular-solve
+                # path: gradients through an explicit f32 inverse are
+                # unstable once hypers drift toward ill-conditioned Kuu
+                # (observed NaN after ~hundreds of steps at M=1024).
                 return jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, data, scales, None)
+                    p, data, scales)
 
             (neg_elbo, aux), grads = jax.lax.cond(is_ve, ve_branch,
                                                   vm_branch, params)
@@ -190,13 +210,19 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 lambda a, b: jnp.where(do_ng, a, b), params_ng, params)
         if use_cache:
             # refresh the cache after VM steps (hypers/Z moved)
-            Luu_next = jax.lax.cond(
-                is_ve, lambda p: state.Luu,
-                lambda p: elbo_mod.prior_cholesky(p, config), params)
+            def keep(p):
+                return state.Luu, state.iLuu
+
+            def refresh(p):
+                L = elbo_mod.prior_cholesky(p, config)
+                return L, (_tri_inverse(L) if fastp else None)
+
+            Luu_next, iLuu_next = jax.lax.cond(is_ve, keep, refresh, params)
         else:
-            Luu_next = state.Luu
+            Luu_next, iLuu_next = state.Luu, state.iLuu
         metrics = {"elbo": -neg_elbo, "kl": aux["kl"], "ve": aux["ve"]}
-        return TrainState(params, opt_state, state.step + 1, Luu_next), metrics
+        return TrainState(params, opt_state, state.step + 1, Luu_next,
+                          iLuu_next), metrics
 
     return step_fn
 
@@ -216,7 +242,8 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
     """
     step = make_svi_step(config, train_config, vem=vem)
     optimizer = make_optimizer(train_config)
-    state = init_train_state(params, config, optimizer, cache_luu=vem)
+    state = init_train_state(params, config, optimizer, cache_luu=vem,
+                             fast_projection=train_config.fast_projection)
     history = np.empty(num_steps)
     for i in range(num_steps):
         data, scales = stream.next()
@@ -295,7 +322,8 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                                tuple(batch_sizes), vem=vem,
                                steps_per_call=steps_per_call)
     optimizer = make_optimizer(train_config)
-    state = init_train_state(params, config, optimizer, cache_luu=vem)
+    state = init_train_state(params, config, optimizer, cache_luu=vem,
+                             fast_projection=train_config.fast_projection)
     chunks = []
     done = 0
     while done < num_steps:

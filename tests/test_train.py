@@ -147,3 +147,27 @@ def test_luu_cache_matches_uncached_steps():
     for a, b in zip(jax.tree_util.tree_leaves(s_cached.params),
                     jax.tree_util.tree_leaves(s_plain.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+
+def test_fast_projection_matches_solve_path():
+    """The matmul-against-cached-inverse path must match the triangular
+    solve path to float64 roundoff across VE and VM steps."""
+    cfg, params, X_list, Y_list = _problem()
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    tc_a = TrainConfig(optimizer="adam", step_rate=0.03)
+    tc_b = TrainConfig(optimizer="adam", step_rate=0.03, fast_projection=True)
+    step_a = train_mod.make_svi_step(cfg, tc_a, vem=True)
+    step_b = train_mod.make_svi_step(cfg, tc_b, vem=True)
+    opt = train_mod.make_optimizer(tc_a)
+    sa = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    sb = train_mod.init_train_state(params, cfg, opt, cache_luu=True,
+                                    fast_projection=True)
+    for _ in range(7):
+        sa, ma = step_a(sa, data, scales)
+        sb, mb = step_b(sb, data, scales)
+        np.testing.assert_allclose(float(mb["elbo"]), float(ma["elbo"]),
+                                   rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8)
