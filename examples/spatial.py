@@ -1,0 +1,87 @@
+"""Spatial heterogeneous model (BASELINE config 3 shape).
+
+2-D spatial inputs; output 1 is a heteroscedastic Gaussian (e.g. log-price)
+and output 2 a 3-way categorical (e.g. property type), sharing Q latent
+spatial GPs.  Data is synthetic with known latent structure (no external
+datasets in this environment); N ~ 50k, M = 256.
+
+Run:  python examples/spatial.py [--steps 500]
+"""
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from hetmogp_tpu import (Categorical, HetGaussian, HetLikelihood, ModelConfig,
+                         TrainConfig)
+from hetmogp_tpu import train as train_mod
+from hetmogp_tpu.models.params import init_params, random_W
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--m", type=int, default=256)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    Q, Dx = 3, 2
+    het = HetLikelihood([HetGaussian(), Categorical(K=3)])
+    D = het.num_output_functions()
+
+    # synthetic spatial latents: smooth random Fourier features
+    def latent(X, seed):
+        r = np.random.RandomState(seed)
+        w = r.randn(8, Dx) * 3.0
+        a = r.randn(8)
+        return np.cos(X @ w.T + r.rand(8) * 2 * np.pi) @ a / np.sqrt(8)
+
+    n_per = args.n // 2
+    X1 = rng.rand(n_per, Dx)
+    X2 = rng.rand(n_per, Dx)
+    W = np.asarray(random_W(jax.random.PRNGKey(2), Q, D))
+    U1 = np.stack([latent(X1, q) for q in range(Q)], axis=1)
+    U2 = np.stack([latent(X2, q) for q in range(Q)], axis=1)
+    F1 = U1 @ W[:, 0:2]
+    F2 = U2 @ W[:, 2:4]
+    Y = het.samples(jax.random.PRNGKey(3), [F1, F2])
+    Y1, Y2 = np.asarray(Y[0]), np.asarray(Y[1])
+
+    cfg = ModelConfig(likelihoods=tuple(het.likelihoods_list), num_latent=Q,
+                      num_inducing=args.m, input_dim=Dx, dtype="float32",
+                      jitter=1e-6)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    Z = rng.rand(args.m, Dx).astype(np.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg, Z, W=W, lengthscale=0.3,
+                         variance=0.5, q_mu_scale=0.1)
+
+    params, hist = train_mod.svi_fit_on_device(
+        params, cfg, tc, [X1, X2], [Y1, Y2], batch_sizes=512,
+        num_steps=args.steps, key=jax.random.PRNGKey(1))
+    print(f"ELBO: {hist[0]:.0f} -> {hist[-1]:.0f} over {args.steps} steps")
+
+    # held-out accuracy of the categorical head
+    from hetmogp_tpu.models import predict as predict_mod
+
+    Xtest = rng.rand(2000, Dx)
+    Utest = np.stack([latent(Xtest, q) for q in range(Q)], axis=1)
+    true_probs_logits = Utest @ W[:, 2:4]
+    mp, _ = predict_mod.predictive(params, cfg, [Xtest, Xtest])
+    pred_class = np.argmax(
+        np.concatenate([np.asarray(mp[1]),
+                        1 - np.asarray(mp[1]).sum(1, keepdims=True)], axis=1),
+        axis=1) + 1
+    true_class = np.argmax(np.concatenate(
+        [true_probs_logits, np.zeros((2000, 1))], axis=1), axis=1) + 1
+    acc = float((pred_class == true_class).mean())
+    print(f"categorical argmax agreement with true latent field: {acc:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,31 @@ class HetLikelihood:
             "pred_index": np.asarray(p_index, dtype=np.int64),
         }
 
+    def logpdf(self, F, Y, Y_metadata=None):
+        """Per-task log-densities: lists in, list of (N_t,) arrays out.
+
+        Mirrors het_likelihood.py:59-70 with the list-of-arrays convention
+        used everywhere else in this package (the reference packs tasks into
+        one wide array via metadata masks; per-task lists keep shapes
+        static).
+        """
+        import jax.numpy as jnp
+
+        out = []
+        for t, lik in enumerate(self.likelihoods_list):
+            F_t = jnp.asarray(F[t])
+            Y_t = jnp.asarray(Y[t])
+            if Y_t.ndim == 1:
+                Y_t = Y_t[:, None]
+            out.append(lik.logpdf_batch(F_t, Y_t))
+        return out
+
+    def pdf(self, F, Y, Y_metadata=None):
+        """Per-task densities (het_likelihood.py:46-57)."""
+        import jax.numpy as jnp
+
+        return [jnp.exp(lp) for lp in self.logpdf(F, Y)]
+
     def num_output_functions(self, Y_metadata=None) -> int:
         """Total number of parameter functions D (het_likelihood.py:85-90)."""
         return sum(lik.dim_f for lik in self.likelihoods_list)

@@ -91,6 +91,77 @@ def predict_f(params: SVMOGPParams, config: ModelConfig, Xnew,
     return m_F[:, j], v_F[:, j]
 
 
+def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
+                        Xtrain_list: Sequence, Xnew,
+                        output_function_ind: int = 0):
+    """Reference ``_raw_predict_f`` semantics (svmogp.py:255-278): form the
+    q(f_d) posterior at the task's TRAINING inputs, then re-project it to
+    Xnew through the function-space prior Kfdfd (a GPy ``Posterior``
+    Woodbury projection).
+
+    This is O(N^3) in the training size and is NOT the recommended path —
+    ``predict_f`` computes the inducing-point posterior at Xnew directly —
+    but it reproduces the reference's numbers for `predictive()`/NLPD
+    comparisons on small data.  Variances are clamped non-negative (the
+    reference wraps them in np.abs, svmogp.py:278).
+    """
+    from hetmogp_tpu.ops import kernels, linalg
+
+    d = output_function_ind
+    t = config.function_index[d]
+    X = jnp.asarray(Xtrain_list[t], config.np_dtype)
+    Xs = jnp.asarray(Xnew, config.np_dtype)
+    Luu = elbo_mod.prior_cholesky(params, config)
+
+    # full q(f_d) moments at the training inputs
+    Kfu = kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
+                            params.variance)  # (Q, N, M)
+    Lq = jnp.tril(params.q_sqrt)
+    R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # (Q, M, N)
+    if config.whiten:
+        P = jnp.swapaxes(R, -1, -2)
+    else:
+        P = jnp.swapaxes(linalg.solve_tri(Luu, R, trans=True), -1, -2)
+        # un-whitened: mean/cov contraction against Kuf, not Luu^-1 Kuf
+    w = params.W[:, d]  # (Q,)
+    B_dd = jnp.square(w) + params.kappa[:, d]
+    mean_q = jnp.einsum("qnm,qm->qn", P, params.q_mu)
+    m_fd = jnp.einsum("q,qn->n", w, mean_q)
+
+    kfn = kernels.kern_fn(config.kernel)
+    Kq_full = jnp.stack([
+        kfn(X, X, params.lengthscale[q], params.variance[q])
+        for q in range(config.num_latent)])  # (Q, N, N)
+    PL = P @ Lq  # (Q, N, M)
+    if config.whiten:
+        G = PL @ jnp.swapaxes(PL, -1, -2) - P @ jnp.swapaxes(P, -1, -2)
+    else:
+        # A S A^T - A Kuf  with A = P in un-whitened coordinates
+        G = (PL @ jnp.swapaxes(PL, -1, -2)
+             - jnp.einsum("qnm,qkm->qnk", P, Kfu))
+    S_fd = jnp.einsum("q,qnk->nk", B_dd, Kq_full) + jnp.einsum(
+        "q,qnk->nk", jnp.square(w), G)
+
+    # prior at training inputs / cross / new diag for output d
+    Kdd = jnp.einsum("q,qnk->nk", B_dd, Kq_full)
+    Kx = jnp.stack([
+        kfn(X, Xs, params.lengthscale[q], params.variance[q])
+        for q in range(config.num_latent)])
+    Kx_d = jnp.einsum("q,qns->ns", B_dd, Kx)
+    # stationary kernels: Kdiag = variance
+    kxx_diag = jnp.einsum("q,q->", B_dd, params.variance) * jnp.ones(
+        (Xs.shape[0],), X.dtype)
+
+    LK = linalg.jitchol(Kdd[None], jitter=config.jitter,
+                        adaptive=True)[0]
+    wv = linalg.cho_solve_batched(LK[None], m_fd[None, :, None])[0, :, 0]
+    tmp = linalg.cho_solve_batched(LK[None], Kx_d[None])[0]  # K^-1 Kx
+    mu = Kx_d.T @ wv
+    var = (kxx_diag - jnp.sum(tmp * Kx_d, axis=0)
+           + jnp.sum(tmp * (S_fd @ tmp), axis=0))
+    return mu, jnp.maximum(var, 0.0)
+
+
 def predict_f_all(params: SVMOGPParams, config: ModelConfig,
                   X_list: Sequence) -> list:
     """q(f) moments for every task: [(m_F_t, v_F_t)] with (N_t, F_t) arrays."""

@@ -120,6 +120,15 @@ class SVMOGP:
     def predict_f_tasks(self, X_list):
         return predict_mod.predict_f_all(self.params, self.config, X_list)
 
+    def predict_f_projected(self, Xnew, output_function_ind: int = 0):
+        """Reference ``_raw_predict_f`` semantics: re-project the posterior
+        at the training inputs through the function-space prior (O(N^3);
+        see predict.predict_f_projected)."""
+        m, v = predict_mod.predict_f_projected(
+            self.params, self.config, self.Xmulti_all, Xnew,
+            output_function_ind)
+        return np.asarray(m)[:, None], np.asarray(v)[:, None]
+
     def predictive(self, Xpred: Sequence):
         return predict_mod.predictive(self.params, self.config, Xpred)
 

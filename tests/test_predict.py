@@ -113,3 +113,39 @@ def test_model_class_end_to_end_api():
 
     mu, vu = model.predict_u(Xp)
     assert mu.shape == (20, 2) and (vu >= 0).all()
+
+
+def test_projected_prediction_identity_at_training_inputs():
+    """Projecting the training-input posterior back onto the SAME inputs is
+    the identity (Kx = K), so predict_f_projected must reduce to the direct
+    q(f_d) moments with the full-covariance diagonal."""
+    cfg, params, oa = _setup()
+    rng = np.random.RandomState(7)
+    X = rng.rand(12, 1)
+    for d in range(2):
+        m_dir, v_dir = predict_mod.predict_f(params, cfg, X, d)
+        m_prj, v_prj = predict_mod.predict_f_projected(params, cfg,
+                                                       [X, X], X, d)
+        np.testing.assert_allclose(np.asarray(m_prj), np.asarray(m_dir),
+                                   atol=1e-7)
+        # projected variance includes the full-cov diagonal == direct diag
+        np.testing.assert_allclose(np.asarray(v_prj), np.asarray(v_dir),
+                                   atol=1e-6)
+
+
+def test_projected_prediction_whiten_consistency():
+    import dataclasses
+
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    cfg, params, oa = _setup()
+    cfg_w = dataclasses.replace(cfg, whiten=True)
+    params_w = elbo_mod.whiten_params(params, cfg)
+    rng = np.random.RandomState(8)
+    Xtr = [rng.rand(10, 1), rng.rand(9, 1)]
+    Xs = rng.rand(6, 1)
+    for d in range(2):
+        m_u_, v_u_ = predict_mod.predict_f_projected(params, cfg, Xtr, Xs, d)
+        m_w, v_w = predict_mod.predict_f_projected(params_w, cfg_w, Xtr, Xs, d)
+        np.testing.assert_allclose(np.asarray(m_w), np.asarray(m_u_), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_u_), atol=1e-7)
