@@ -66,20 +66,18 @@ def main():
         num_steps=args.steps, key=jax.random.PRNGKey(1))
     print(f"ELBO: {hist[0]:.0f} -> {hist[-1]:.0f} over {args.steps} steps")
 
-    # held-out accuracy of the categorical head
+    # held-out class agreement via the latent posterior means (the
+    # reference-quirk predictive renormalizes over K-1 classes, which makes
+    # the implied class-K probability uninformative — see MIGRATION.md)
     from hetmogp_tpu.models import predict as predict_mod
 
     Xtest = rng.rand(2000, Dx)
     Utest = np.stack([latent(Xtest, q) for q in range(Q)], axis=1)
-    true_probs_logits = Utest @ W[:, 2:4]
-    mp, _ = predict_mod.predictive(params, cfg, [Xtest, Xtest])
-    pred_class = np.argmax(
-        np.concatenate([np.asarray(mp[1]),
-                        1 - np.asarray(mp[1]).sum(1, keepdims=True)], axis=1),
-        axis=1) + 1
-    true_class = np.argmax(np.concatenate(
-        [true_probs_logits, np.zeros((2000, 1))], axis=1), axis=1) + 1
-    acc = float((pred_class == true_class).mean())
+    true_logits = np.concatenate([Utest @ W[:, 2:4], np.zeros((2000, 1))], 1)
+    moments = predict_mod.predict_f_all(params, cfg, [Xtest, Xtest])
+    m_F2 = np.asarray(moments[1][0])  # (N, 2) latent means for the 2 logits
+    pred_logits = np.concatenate([m_F2, np.zeros((2000, 1))], axis=1)
+    acc = float((np.argmax(pred_logits, 1) == np.argmax(true_logits, 1)).mean())
     print(f"categorical argmax agreement with true latent field: {acc:.3f}")
 
 

@@ -191,6 +191,9 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
     """
     if Luu is None:
         Luu = prior_cholesky(params, config)
+    # NOTE: fusing the per-task projections into one concatenated-rows solve
+    # was measured SLOWER on TPU v5e (154 vs 178 steps/s at bench shapes) —
+    # the independent per-task solves overlap better.  Keep the task loop.
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
