@@ -88,8 +88,15 @@ def init_params(
 
     Z = jnp.asarray(Z, dtype)
     if Z.ndim == 2:
+        if Z.shape != (M, Dx):
+            raise ValueError(
+                f"Z has shape {Z.shape}; expected (num_inducing, input_dim)"
+                f" = ({M}, {Dx}) (or (Q, M, Dx) for per-latent inducing "
+                f"points)")
         Z = jnp.broadcast_to(Z[None], (Q, M, Dx))
-    assert Z.shape == (Q, M, Dx), f"Z shape {Z.shape} != {(Q, M, Dx)}"
+    if Z.shape != (Q, M, Dx):
+        raise ValueError(
+            f"Z has shape {Z.shape}; expected (Q, M, Dx) = {(Q, M, Dx)}")
 
     k_mu, k_w = jax.random.split(key)
     q_mu = q_mu_scale * jax.random.normal(k_mu, (Q, M), dtype)

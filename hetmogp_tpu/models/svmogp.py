@@ -35,9 +35,27 @@ class SVMOGP:
                  Z, *, key=None, params: Optional[SVMOGPParams] = None,
                  W=None, lengthscale=1.0, variance=1.0):
         self.config = config
+        if len(X) != config.num_tasks or len(Y) != config.num_tasks:
+            raise ValueError(
+                f"got {len(X)} X arrays / {len(Y)} Y arrays for "
+                f"{config.num_tasks} likelihoods — one per task required")
         self.Xmulti_all = [np.asarray(x) for x in X]
         self.Ymulti_all = [np.asarray(y) if np.asarray(y).ndim == 2
                            else np.asarray(y)[:, None] for y in Y]
+        for t, (x, y, lik) in enumerate(zip(self.Xmulti_all, self.Ymulti_all,
+                                            config.likelihoods)):
+            if x.ndim != 2 or x.shape[1] != config.input_dim:
+                raise ValueError(
+                    f"task {t}: X has shape {x.shape}; expected "
+                    f"(N_{t}, input_dim={config.input_dim})")
+            if y.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"task {t}: X has {x.shape[0]} rows but Y has "
+                    f"{y.shape[0]}")
+            if y.shape[1] != lik.dim_y:
+                raise ValueError(
+                    f"task {t}: Y has {y.shape[1]} columns but "
+                    f"{type(lik).__name__} expects dim_y={lik.dim_y}")
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             params = init_params(key, config, Z, W=W, lengthscale=lengthscale,

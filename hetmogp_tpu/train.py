@@ -260,7 +260,8 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 
 def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                       task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
-                      vem: bool = True, steps_per_call: int = 100):
+                      vem: bool = True, steps_per_call: int = 100,
+                      mesh=None):
     """SVI with the data pipeline on-device: one jitted call runs
     ``steps_per_call`` optimizer steps via ``lax.scan``, sampling each step's
     minibatch from the HBM-resident dataset with a random gather.
@@ -277,16 +278,30 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
     body_step = make_svi_step_body(config, train_config, vem=vem)
     scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_spec = NamedSharding(mesh, P("data", None))
+        mask_spec = NamedSharding(mesh, P("data"))
+
     def sample_batch(key, dataset):
         batch = []
         keys = jax.random.split(key, len(dataset))
         for t, td in enumerate(dataset):
             idx = jax.random.randint(keys[t], (batch_sizes[t],), 0,
                                      task_sizes[t])
-            batch.append(elbo_mod.TaskData(
-                X=jnp.take(td.X, idx, axis=0),
-                Y=jnp.take(td.Y, idx, axis=0),
-                mask=jnp.take(td.mask, idx, axis=0)))
+            X = jnp.take(td.X, idx, axis=0)
+            Y = jnp.take(td.Y, idx, axis=0)
+            m = jnp.take(td.mask, idx, axis=0)
+            if mesh is not None:
+                # after the (tiny) gather from the row-sharded dataset,
+                # re-shard the batch over the data axis so the ELBO/grad
+                # compute is partitioned; the reshard moves only B rows
+                # over ICI per task
+                X = jax.lax.with_sharding_constraint(X, batch_spec)
+                Y = jax.lax.with_sharding_constraint(Y, batch_spec)
+                m = jax.lax.with_sharding_constraint(m, mask_spec)
+            batch.append(elbo_mod.TaskData(X=X, Y=Y, mask=m))
         return tuple(batch)
 
     def run(state: TrainState, dataset, key):
@@ -302,7 +317,18 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                                          length=steps_per_call)
         return state, elbos
 
-    return jax.jit(run, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(run, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    data_sh = tuple(
+        elbo_mod.TaskData(X=NamedSharding(mesh, P("data", None)),
+                          Y=NamedSharding(mesh, P("data", None)),
+                          mask=NamedSharding(mesh, P("data")))
+        for _ in range(config.num_tasks))
+    return jax.jit(run, in_shardings=(rep, data_sh, rep),
+                   donate_argnums=(0,))
 
 
 def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,

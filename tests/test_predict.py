@@ -149,3 +149,24 @@ def test_projected_prediction_whiten_consistency():
         m_w, v_w = predict_mod.predict_f_projected(params_w, cfg_w, Xtr, Xs, d)
         np.testing.assert_allclose(np.asarray(m_w), np.asarray(m_u_), atol=1e-7)
         np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_u_), atol=1e-7)
+
+
+def test_model_validation_errors():
+    import pytest
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(L.Gaussian(), L.Bernoulli()), num_latent=2,
+                      num_inducing=4, input_dim=1, dtype="float64")
+    X = [rng.rand(5, 1), rng.rand(4, 1)]
+    Y = [rng.randn(5, 1), rng.randn(4, 1)]
+    Z = np.linspace(0, 1, 4)[:, None]
+
+    with pytest.raises(ValueError, match="one per task"):
+        SVMOGP(cfg, X[:1], Y, Z, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="input_dim"):
+        SVMOGP(cfg, [rng.rand(5, 2), X[1]], Y, Z, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="rows but Y"):
+        SVMOGP(cfg, X, [Y[0][:3], Y[1]], Z, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_inducing"):
+        SVMOGP(cfg, X, Y, np.linspace(0, 1, 8).reshape(4, 2),
+               key=jax.random.PRNGKey(0))

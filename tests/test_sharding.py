@@ -91,3 +91,46 @@ def test_sharded_masked_rows_are_inert():
     e_pad, _ = sharding.make_sharded_elbo(cfg, mesh)(
         params, sharding.shard_batch(mesh, padded), scales)
     np.testing.assert_allclose(float(e_pad), float(e_ref), rtol=1e-10)
+
+
+def test_sharded_scan_trainer_matches_unsharded():
+    """On-device scan training over the mesh: same key -> identical batches
+    (global index sampling) -> bit-comparable trajectory to the unsharded
+    scan trainer."""
+    from hetmogp_tpu.data import full_batch as fb
+
+    rng = np.random.RandomState(1)
+    n = 64
+    liks = (L.HetGaussian(), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=2, num_inducing=8,
+                      input_dim=1, dtype="float64")
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None], lengthscale=0.3)
+    tc = TrainConfig(optimizer="adam", step_rate=0.02)
+    dataset, _ = fb(X_list, Y_list, dtype=cfg.np_dtype, pad_multiple=8)
+    task_sizes = (n, n)
+    batch_sizes = (32, 32)
+
+    run_plain = train_mod.make_scan_trainer(cfg, tc, task_sizes, batch_sizes,
+                                            vem=True, steps_per_call=12)
+    opt = train_mod.make_optimizer(tc)
+    # both states up-front: the runners donate their input state buffers
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    s0 = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    s0b = train_mod.init_train_state(params_copy, cfg, opt, cache_luu=True)
+    key = jax.random.PRNGKey(7)
+    s1, e1 = run_plain(s0, jax.device_put(dataset), key)
+
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    run_sh = train_mod.make_scan_trainer(cfg, tc, task_sizes, batch_sizes,
+                                         vem=True, steps_per_call=12,
+                                         mesh=mesh)
+    dataset_sh = sharding.shard_batch(mesh, dataset)
+    s2, e2 = run_sh(s0b, dataset_sh, key)
+
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), rtol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
