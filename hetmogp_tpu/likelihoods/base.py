@@ -110,9 +110,13 @@ class Likelihood:
         """Observation-space predictive moments -> ((N, dim_p), (N, dim_p))."""
         return _predictive_engine(self)(M, V)
 
-    def log_predictive(self, key, Ytest, M_star, V_star, num_samples: int):
-        """Monte-Carlo log-predictive density (reference semantics, including
-        its extra 1/num_samples factor; see ops/quadrature.mc_log_predictive).
+    def log_predictive(self, key, Ytest, M_star, V_star, num_samples: int,
+                       reference_scaling: bool = True):
+        """Monte-Carlo log-predictive density.  ``reference_scaling=True``
+        reproduces the reference's extra 1/num_samples factor (see
+        ops/quadrature.mc_log_predictive); False gives the plain summed
+        log-predictive.
         """
         return quadrature.mc_log_predictive(
-            self.logpdf, key, Ytest, M_star, V_star, num_samples)
+            self.logpdf, key, Ytest, M_star, V_star, num_samples,
+            reference_scaling=reference_scaling)

@@ -26,6 +26,10 @@ from hetmogp_tpu.ops import quadrature
 @dataclasses.dataclass(frozen=True)
 class Categorical(Likelihood):
     K: int = 3
+    # The reference leaves the predictive variance unimplemented
+    # (categorical.py:264) and returns zeros; set True for the proper
+    # law-of-total-variance class-probability variances instead.
+    exact_predictive_variance: bool = False
 
     @property
     def dim_f(self):  # type: ignore[override]
@@ -61,21 +65,20 @@ class Categorical(Likelihood):
         return jnp.sum(onehot * jnp.log(p))
 
     def conditional_moments(self, f):
-        # mean over dim_p = first K-1 class probabilities (rho_k, :89-100);
-        # conditional variance unused (predictive variance unimplemented
-        # upstream, :264) — zeros keep the generic engine's output at zero
-        # only for the variance channel that parity requires.
+        # mean over dim_p = first K-1 class probabilities (rho_k, :89-100)
         ef = safe_exp(f)
         rho = ef / (1.0 + jnp.sum(ef))
         rho = jnp.clip(rho, 1e-9, 1.0 - 1e-9)
         rho = rho / jnp.sum(rho)
-        return rho, jnp.zeros_like(rho)
+        return rho, rho * (1.0 - rho)
 
     def predictive(self, M, V):
-        mean, _ = super().predictive(M, V)
-        # E[rho]^2 - E[rho^2] cross-terms are dropped upstream; variance is
-        # reported as zeros (reference categorical.py:256-269).
-        return mean, jnp.zeros_like(mean)
+        mean, var = super().predictive(M, V)
+        if not self.exact_predictive_variance:
+            # reference parity: variance "NOT IMPLEMENTED" upstream
+            # (categorical.py:264) — reported as zeros
+            var = jnp.zeros_like(mean)
+        return mean, var
 
     def sample(self, key, F):
         logits = jnp.concatenate([F, jnp.zeros((F.shape[0], 1), F.dtype)], axis=1)

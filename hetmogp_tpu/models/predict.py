@@ -188,7 +188,8 @@ def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence):
 
 def negative_log_predictive(params: SVMOGPParams, config: ModelConfig,
                             key, Xtest: Sequence, Ytest: Sequence,
-                            num_samples: int = 1000):
+                            num_samples: int = 1000,
+                            reference_scaling: bool = True):
     """Test NLPD via per-task Monte-Carlo logsumexp.
 
     Reference ``negative_log_predictive`` (svmogp.py:353-370 →
@@ -201,12 +202,14 @@ def negative_log_predictive(params: SVMOGPParams, config: ModelConfig,
         Y_t = jnp.asarray(Ytest[t], config.np_dtype)
         if Y_t.ndim == 1:
             Y_t = Y_t[:, None]
-        total = total + _jitted_log_predictive(lik, num_samples)(
+        total = total + _jitted_log_predictive(lik, num_samples,
+                                               reference_scaling)(
             keys[t], Y_t, m_F, v_F)
     return -total
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_log_predictive(lik, num_samples: int):
-    return jax.jit(lambda key, y, m, v: lik.log_predictive(key, y, m, v,
-                                                           num_samples))
+def _jitted_log_predictive(lik, num_samples: int,
+                           reference_scaling: bool = True):
+    return jax.jit(lambda key, y, m, v: lik.log_predictive(
+        key, y, m, v, num_samples, reference_scaling=reference_scaling))

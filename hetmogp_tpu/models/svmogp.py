@@ -151,10 +151,11 @@ class SVMOGP:
         return predict_mod.predictive(self.params, self.config, Xpred)
 
     def negative_log_predictive(self, Xtest, Ytest, num_samples: int = 1000,
-                                key=None):
+                                key=None, reference_scaling: bool = True):
         key = key if key is not None else jax.random.PRNGKey(0)
         return float(predict_mod.negative_log_predictive(
-            self.params, self.config, key, Xtest, Ytest, num_samples))
+            self.params, self.config, key, Xtest, Ytest, num_samples,
+            reference_scaling=reference_scaling))
 
     # ---- plotting (reference svmogp.py:372-469) --------------------------
     def plot_f(self, dim: int = 0, num_points: int = 200, ax=None):

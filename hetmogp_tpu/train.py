@@ -365,32 +365,36 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
 # batch VEM with L-BFGS (reference util.py:292-319)
 # ---------------------------------------------------------------------------
 
-def _lbfgs_minimize(loss, params, mask, max_iters: int):
-    """Masked L-BFGS on the pytree (paramz ``optimize(max_iters=100)``
-    equivalent).  Masked coordinates have zero gradient -> zero update."""
+def make_lbfgs_runner(loss, mask, max_iters: int):
+    """Jitted masked L-BFGS runner (paramz ``optimize(max_iters=100)``
+    equivalent).  Masked coordinates have zero gradient -> zero update.
+
+    The whole iteration loop runs on-device as one ``lax.scan`` program —
+    over a remote TPU tunnel, per-iteration host dispatch would cost ~40ms
+    x max_iters per VEM half-step.  Build once per mask and reuse across
+    VEM iterations (each build compiles a fresh program).
+    """
     opt = optax.lbfgs()
+    value_and_grad = jax.value_and_grad(loss)
 
-    def masked_loss(p):
-        return loss(p)
-
-    value_and_grad = jax.value_and_grad(masked_loss)
-
-    @jax.jit
-    def one(params, opt_state):
+    def one(carry, _):
+        params, opt_state = carry
         value, grads = value_and_grad(params)
         grads = _apply_mask(grads, mask)
         updates, opt_state = opt.update(
             grads, opt_state, params, value=value, grad=grads,
-            value_fn=masked_loss)
+            value_fn=loss)
         updates = _apply_mask(updates, mask)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, value
+        return (params, opt_state), value
 
-    opt_state = opt.init(params)
-    value = None
-    for _ in range(max_iters):
-        params, opt_state, value = one(params, opt_state)
-    return params, value
+    @jax.jit
+    def run(params):
+        (params, _), values = jax.lax.scan(one, (params, opt.init(params)),
+                                           None, length=max_iters)
+        return params, values[-1]
+
+    return run
 
 
 def vem_algorithm(params: SVMOGPParams, config: ModelConfig, X_list, Y_list,
@@ -416,16 +420,17 @@ def vem_algorithm(params: SVMOGPParams, config: ModelConfig, X_list, Y_list,
     def loss(p):
         return -elbo_mod.elbo_fn(p, data, scales, config)[0]
 
+    ve_run = make_lbfgs_runner(loss, ve_mask(params),
+                               train_config.batch_inner_iters)
+    vm_run = make_lbfgs_runner(loss, vm_mask(params, train_config),
+                               train_config.batch_inner_iters)
     history = []
     for i in range(train_config.vem_iters):
-        params, val = _lbfgs_minimize(loss, params, ve_mask(params),
-                                      train_config.batch_inner_iters)
+        params, val = ve_run(params)
         history.append(-float(val))
         if verbose:
             print(f"iteration ({i + 1}) VE step, ELBO={-float(val):.6f}")
-        params, val = _lbfgs_minimize(loss, params,
-                                      vm_mask(params, train_config),
-                                      train_config.batch_inner_iters)
+        params, val = vm_run(params)
         history.append(-float(val))
         if verbose:
             print(f"iteration ({i + 1}) VM step, ELBO={-float(val):.6f}")

@@ -164,3 +164,30 @@ def test_het_likelihood_dispatcher():
     samples = het.samples(jax.random.PRNGKey(1),
                           [jnp.asarray(rng.randn(5, 2)), jnp.asarray(rng.randn(4, 1))])
     assert samples[0].shape == (5, 1) and samples[1].shape == (4, 1)
+
+
+def test_categorical_exact_predictive_variance_flag():
+    rng = np.random.RandomState(7)
+    m = jnp.asarray(rng.randn(5, 2))
+    v = jnp.asarray(0.3 * rng.rand(5, 2) + 0.05)
+    lik0 = L.Categorical(K=3)
+    lik1 = L.Categorical(K=3, exact_predictive_variance=True)
+    m0, v0 = lik0.predictive(m, v)
+    m1, v1 = lik1.predictive(m, v)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_allclose(np.asarray(v0), 0.0)
+    # proper variances are positive and bounded by Bernoulli max 0.25
+    assert (np.asarray(v1) > 0).all() and (np.asarray(v1) <= 0.25 + 1e-9).all()
+
+
+def test_nlpd_reference_scaling_flag():
+    lik = L.Gaussian(sigma=1.0)
+    rng = np.random.RandomState(8)
+    y = jnp.asarray(rng.randn(6, 1))
+    m = jnp.asarray(rng.randn(6, 1))
+    v = jnp.asarray(0.3 * rng.rand(6, 1) + 0.1)
+    key = jax.random.PRNGKey(0)
+    S = 128
+    a = float(lik.log_predictive(key, y, m, v, S, reference_scaling=True))
+    b = float(lik.log_predictive(key, y, m, v, S, reference_scaling=False))
+    np.testing.assert_allclose(a * S, b, rtol=1e-6)
