@@ -123,6 +123,39 @@ def full_batch(X_list, Y_list, dtype=None, pad_multiple: int = 1
     return tuple(batches), np.ones(len(batches))
 
 
+def init_z_kmeans(X_list: Sequence, num_inducing: int, seed: int = 0,
+                  iters: int = 25) -> np.ndarray:
+    """K-means inducing-point initialization over the pooled task inputs.
+
+    The reference imports GPy's ``kmm_init`` but leaves it commented out
+    (svmogp.py:50); provided here as a working initializer.  Lloyd's
+    algorithm on a subsample; returns (M, Dx).
+    """
+    X = np.concatenate([np.asarray(x) for x in X_list], axis=0)
+    rng = np.random.RandomState(seed)
+    if X.shape[0] > 50_000:
+        X = X[rng.choice(X.shape[0], 50_000, replace=False)]
+    M = min(num_inducing, X.shape[0])
+    centers = X[rng.choice(X.shape[0], M, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1) \
+            if X.shape[0] * M * X.shape[1] < 5e7 else None
+        if d2 is None:
+            # chunked distance computation for big pools
+            assign = np.empty(X.shape[0], dtype=np.int64)
+            for s in range(0, X.shape[0], 8192):
+                blk = X[s:s + 8192]
+                assign[s:s + 8192] = np.argmin(
+                    ((blk[:, None, :] - centers[None, :, :]) ** 2).sum(-1), 1)
+        else:
+            assign = np.argmin(d2, axis=1)
+        for m in range(M):
+            pts = X[assign == m]
+            if len(pts):
+                centers[m] = pts.mean(axis=0)
+    return centers
+
+
 # ---------------------------------------------------------------------------
 # synthetic data (reference util.py:21-50, 202-206)
 # ---------------------------------------------------------------------------

@@ -67,7 +67,20 @@ def matern52(X1, X2, lengthscale, variance):
     return variance * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
 
 
-_KERNELS = {"rbf": rbf, "matern32": matern32, "matern52": matern52}
+def exponential_kernel(X1, X2, lengthscale, variance):
+    """Ornstein-Uhlenbeck / Matern-1/2: sigma^2 exp(-r)."""
+    r = jnp.sqrt(_sq_dists(X1, X2, lengthscale) + 1e-36)
+    return variance * jnp.exp(-r)
+
+
+def rq(X1, X2, lengthscale, variance, alpha: float = 2.0):
+    """Rational quadratic with fixed alpha (scale-mixture of RBFs)."""
+    r2 = _sq_dists(X1, X2, lengthscale)
+    return variance * (1.0 + r2 / (2.0 * alpha)) ** (-alpha)
+
+
+_KERNELS = {"rbf": rbf, "matern32": matern32, "matern52": matern52,
+            "exponential": exponential_kernel, "rq": rq}
 
 
 def kern_fn(kind: str):

@@ -80,3 +80,17 @@ def test_toy_generators_shapes():
     # mixing is exact: F[t][:, j] = U[t] @ W[:, d]
     np.testing.assert_allclose(F[0][:, 0], U[0] @ W[:, 0])
     np.testing.assert_allclose(F[1][:, 1], U[1] @ W[:, 3])
+
+
+def test_init_z_kmeans():
+    from hetmogp_tpu.data import init_z_kmeans
+
+    rng = np.random.RandomState(0)
+    # two well-separated clusters; centers should land near both
+    X1 = rng.randn(200, 2) * 0.1
+    X2 = rng.randn(150, 2) * 0.1 + 5.0
+    Z = init_z_kmeans([X1, X2], num_inducing=8, seed=1)
+    assert Z.shape == (8, 2)
+    near_0 = (np.linalg.norm(Z, axis=1) < 1.0).sum()
+    near_5 = (np.linalg.norm(Z - 5.0, axis=1) < 1.0).sum()
+    assert near_0 > 0 and near_5 > 0 and near_0 + near_5 == 8

@@ -1,0 +1,44 @@
+"""Strict GPy golden-file parity (skipped unless golden_gpy.npz exists).
+
+Generate the golden file with tools/make_golden.py inside the reference's
+pinned venv (GPy is not installable in this environment — see that script's
+docstring).  When present, the JAX ELBO must match the recorded GPy ELBO to
+1e-6 absolute (the BASELINE.json north-star tolerance).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden_gpy.npz"
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="no GPy golden file; "
+                    "generate with tools/make_golden.py in a GPy venv")
+def test_elbo_matches_gpy_golden():
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import Bernoulli, HetGaussian, ModelConfig
+    from hetmogp_tpu.models import elbo as elbo_mod
+    from hetmogp_tpu.models.params import SVMOGPParams
+    from hetmogp_tpu.ops import linalg
+
+    z = np.load(GOLDEN)
+    Q, M = z["W"].shape[0], z["Z"].shape[0]
+    cfg = ModelConfig(likelihoods=(HetGaussian(), Bernoulli()), num_latent=Q,
+                      num_inducing=M, input_dim=1, whiten=False,
+                      dtype="float64")
+    L_u = linalg.unpack_tril(jnp.asarray(z["q_u_chols"]).T, M)  # (Q, M, M)
+    params = SVMOGPParams(
+        Z=jnp.broadcast_to(jnp.asarray(z["Z"])[None], (Q, M, 1)),
+        q_mu=jnp.asarray(z["q_u_means"]).T,
+        q_sqrt=L_u,
+        log_lengthscale=jnp.log(jnp.asarray(z["lengthscale"]))[:, None],
+        log_variance=jnp.log(jnp.asarray(z["variance"])),
+        W=jnp.asarray(z["W"]),
+        kappa=jnp.zeros((Q, z["W"].shape[1])))
+    data = (elbo_mod.task_data(z["X1"], z["Y1"], dtype=jnp.float64),
+            elbo_mod.task_data(z["X2"], z["Y2"], dtype=jnp.float64))
+    e, _ = elbo_mod.elbo_fn(params, data, jnp.ones(2), cfg)
+    np.testing.assert_allclose(float(e), float(z["elbo"]), atol=1e-6)

@@ -62,3 +62,14 @@ def test_lmc_coregionalization_diag():
     kappa = jnp.asarray([[0.1, 0.0], [0.0, 0.2]])
     B = kernels.lmc_coregionalization(W, kappa)
     np.testing.assert_allclose(np.asarray(B), [[1.1, 4.0], [0.25, 9.2]])
+
+
+def test_extra_kernel_families():
+    rng = np.random.RandomState(4)
+    X = rng.randn(6, 2)
+    for kind in ("exponential", "rq"):
+        f = kernels.kern_fn(kind)
+        K = np.asarray(f(jnp.asarray(X), jnp.asarray(X), jnp.ones(2), 1.3))
+        np.testing.assert_allclose(np.diag(K), 1.3 * np.ones(6), atol=1e-6)
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        assert np.linalg.eigvalsh(K).min() > -1e-8
