@@ -46,6 +46,10 @@ def main():
                          rng.rand(args.m, Dx).astype(np.float32),
                          lengthscale=0.3, variance=0.5, q_mu_scale=0.1)
 
+    # warmup chunk so the reported rate is steady-state, not compile time
+    params, _ = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=512, num_steps=100,
+        key=jax.random.PRNGKey(9))
     t0 = time.perf_counter()
     params, hist = train_mod.svi_fit_on_device(
         params, cfg, tc, X_list, Y_list, batch_sizes=512,

@@ -24,6 +24,7 @@ tests/test_natgrad.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -258,6 +259,7 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 # fully on-device SVI (lax.scan over steps, device-resident dataset)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
 def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                       task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
                       vem: bool = True, steps_per_call: int = 100,
