@@ -1,0 +1,67 @@
+"""Serialized, ahead-of-time compiled prediction functions for serving.
+
+The reference has no serving story (SURVEY.md §1: "no serving layer").
+Here: ``jax.export`` serializes the jitted predictive computation (StableHLO
++ calling convention) so a serving process can load and run it without the
+model code — only jax and the parameter arrays.
+
+    blob = export_predictive(params, config, example_X_list)
+    Path("model.bin").write_bytes(blob)
+    # in the server:
+    fn = load_predictive(Path("model.bin").read_bytes())
+    m1, v1, m2, v2, ... = fn(params_flat + X_list)
+
+The exported function is shape-specialized to the example batch sizes
+(standard for serving; export several shapes if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hetmogp_tpu.config import ModelConfig
+from hetmogp_tpu.models import predict as predict_mod
+from hetmogp_tpu.models.params import SVMOGPParams
+
+
+def _flat_predictive(config: ModelConfig):
+    """Predictive as a function of flat positional args (export-friendly)."""
+
+    def f(Z, q_mu, q_sqrt, log_ls, log_var, W, kappa, *X_list):
+        params = SVMOGPParams(Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                              log_lengthscale=log_ls, log_variance=log_var,
+                              W=W, kappa=kappa)
+        m_pred, v_pred = predict_mod.predictive(params, config, list(X_list))
+        out = []
+        for m, v in zip(m_pred, v_pred):
+            out.extend([m, v])
+        return tuple(out)
+
+    return f
+
+
+def params_args(params: SVMOGPParams):
+    return (params.Z, params.q_mu, params.q_sqrt, params.log_lengthscale,
+            params.log_variance, params.W, params.kappa)
+
+
+def export_predictive(params: SVMOGPParams, config: ModelConfig,
+                      example_X_list: Sequence) -> bytes:
+    """Serialize the AOT-compiled observation-space predictive.
+
+    Returns a bytes blob loadable with ``load_predictive``; call signature
+    of the loaded function is ``(*params_args(params), *X_list)``.
+    """
+    f = _flat_predictive(config)
+    xs = [jnp.asarray(x, config.np_dtype) for x in example_X_list]
+    exported = jax.export.export(jax.jit(f))(*params_args(params), *xs)
+    return bytes(exported.serialize())
+
+
+def load_predictive(blob: bytes):
+    """Deserialize an exported predictive; returns a callable."""
+    exported = jax.export.deserialize(blob)
+    return exported.call

@@ -170,14 +170,34 @@ def predict_f_all(params: SVMOGPParams, config: ModelConfig,
             for t, X_t in enumerate(X_list)]
 
 
-def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence):
+def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence,
+               Xtrain_list: Optional[Sequence] = None,
+               projected: bool = False):
     """Observation-space predictive moments per task.
 
     Reference ``SVMOGP.predictive`` (svmogp.py:333-351): latent moments
-    pushed through each likelihood's quadrature moments.
+    pushed through each likelihood's quadrature moments.  The reference
+    routes the latent moments through ``_raw_predict_f`` (the O(N^3)
+    training-set projection); pass ``projected=True`` with ``Xtrain_list``
+    for those exact semantics — the default uses the direct inducing-point
+    moments (``predictive_new`` semantics).
     Returns (m_pred, v_pred): lists of (N_t, dim_p) arrays.
     """
-    moments = predict_f_all(params, config, X_list)
+    if projected:
+        if Xtrain_list is None:
+            raise ValueError("projected=True requires Xtrain_list")
+        moments = []
+        for t, lik in enumerate(config.likelihoods):
+            cols_m, cols_v = [], []
+            start, stop = config.task_function_slices[t]
+            for d in range(start, stop):
+                m_d, v_d = predict_f_projected(params, config, Xtrain_list,
+                                               X_list[t], d)
+                cols_m.append(m_d)
+                cols_v.append(v_d)
+            moments.append((jnp.stack(cols_m, -1), jnp.stack(cols_v, -1)))
+    else:
+        moments = predict_f_all(params, config, X_list)
     m_pred, v_pred = [], []
     for lik, (m_F, v_F) in zip(config.likelihoods, moments):
         m, v = _jitted_likelihood_predictive(lik)(m_F, v_F)

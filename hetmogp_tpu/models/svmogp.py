@@ -147,8 +147,12 @@ class SVMOGP:
             output_function_ind)
         return np.asarray(m)[:, None], np.asarray(v)[:, None]
 
-    def predictive(self, Xpred: Sequence):
-        return predict_mod.predictive(self.params, self.config, Xpred)
+    def predictive(self, Xpred: Sequence, projected: bool = False):
+        """Observation-space prediction; ``projected=True`` reproduces the
+        reference's training-set re-projection path exactly."""
+        return predict_mod.predictive(self.params, self.config, Xpred,
+                                      Xtrain_list=self.Xmulti_all,
+                                      projected=projected)
 
     def negative_log_predictive(self, Xtest, Ytest, num_samples: int = 1000,
                                 key=None, reference_scaling: bool = True):

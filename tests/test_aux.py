@@ -85,3 +85,54 @@ def test_trace_annotation_smoke(tmp_path):
             x.block_until_ready()
     # a trace directory was produced
     assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_export_predictive_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig
+    from hetmogp_tpu.export import (export_predictive, load_predictive,
+                                    params_args)
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(Gaussian(sigma=0.5), Bernoulli()),
+                      num_latent=2, num_inducing=5, input_dim=1,
+                      dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 5)[:, None], lengthscale=0.3)
+    X_list = [rng.rand(7, 1), rng.rand(6, 1)]
+
+    blob = export_predictive(params, cfg, X_list)
+    assert isinstance(blob, bytes) and len(blob) > 100
+
+    fn = load_predictive(blob)
+    xs = [jnp.asarray(x, cfg.np_dtype) for x in X_list]
+    out = fn(*params_args(params), *xs)
+    m1, v1, m2, v2 = out
+    em, ev = predict_mod.predictive(params, cfg, X_list)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(em[0]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(ev[1]), atol=1e-10)
+
+
+def test_predictive_projected_mode():
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig, SVMOGP
+
+    rng = np.random.RandomState(1)
+    X = [np.sort(rng.rand(25, 1), 0), np.sort(rng.rand(20, 1), 0)]
+    Y = [rng.randn(25, 1), (rng.rand(20, 1) > 0.5).astype(float)]
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=5, input_dim=1, dtype="float64")
+    m = SVMOGP(cfg, X, Y, np.linspace(0, 1, 5)[:, None],
+               key=jax.random.PRNGKey(0), lengthscale=0.3)
+    Xp = np.linspace(0, 1, 10)[:, None]
+    mp_d, vp_d = m.predictive([Xp, Xp])
+    mp_p, vp_p = m.predictive([Xp, Xp], projected=True)
+    for arr in (*mp_p, *vp_p):
+        assert np.isfinite(np.asarray(arr)).all()
+    # both are valid posteriors; means should be broadly consistent
+    assert np.abs(np.asarray(mp_p[1]) - np.asarray(mp_d[1])).max() < 0.5
