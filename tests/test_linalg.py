@@ -73,3 +73,13 @@ def test_quad_diag():
         S = L[q] @ L[q].T
         expect = np.diag(A[q] @ S @ A[q].T)
         np.testing.assert_allclose(np.asarray(got)[q], expect, atol=1e-9)
+
+
+def test_newton_schulz_inv_sqrt_f64():
+    rng = np.random.RandomState(9)
+    A = rng.randn(2, 32, 8)
+    K = A @ np.swapaxes(A, -1, -2) / 8 + 0.05 * np.eye(32)
+    R = np.asarray(linalg.newton_schulz_inv_sqrt(jnp.asarray(K), iters=32))
+    for q in range(2):
+        np.testing.assert_allclose(R[q] @ K[q] @ R[q], np.eye(32), atol=1e-8)
+        np.testing.assert_allclose(R[q], R[q].T, atol=1e-12)
