@@ -57,8 +57,12 @@ def main():
         rng.exponential(1.0, (N_per, 1)) + 1e-3,               # Exponential
     ]
 
+    # fixed 1e-4 jitter, adaptive escalation off: the reactive while_loop
+    # in adaptive jitchol serializes the scan pipeline (178 -> 258 steps/s
+    # measured); the fixed floor is stable over 3000-step runs (no NaNs)
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
-                      input_dim=Dx, dtype="float32", jitter=1e-6)
+                      input_dim=Dx, dtype="float32", jitter=1e-4,
+                      adaptive_jitter=False)
     tc = TrainConfig(optimizer="adam", step_rate=0.005)
     Z = rng.rand(M, Dx).astype(np.float32)
     params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
