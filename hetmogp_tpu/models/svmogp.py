@@ -162,6 +162,30 @@ class SVMOGP:
             reference_scaling=reference_scaling))
 
     # ---- plotting (reference svmogp.py:372-469) --------------------------
+    def plot_u(self, dim: int = 0, num_points: int = 200, ax=None,
+               true_U=None, true_UX=None):
+        """Latent-function posterior bands (reference plot_u,
+        svmogp.py:372-406)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 6))
+        lo = min(x[:, dim].min() for x in self.Xmulti_all)
+        hi = max(x[:, dim].max() for x in self.Xmulti_all)
+        Xp = np.linspace(lo, hi, num_points)[:, None]
+        if self.config.input_dim > 1:
+            Xp = np.tile(Xp, (1, self.config.input_dim))
+        mean, var = self.predict_u(Xp)
+        std = np.sqrt(np.asarray(var))
+        for q in range(self.num_latent_funcs):
+            m = np.asarray(mean)[:, q]
+            ax.plot(Xp[:, dim], m, "r-", alpha=0.4)
+            ax.fill_between(Xp[:, dim], m - 2 * std[:, q], m + 2 * std[:, q],
+                            alpha=0.15)
+        if true_U is not None:
+            ax.plot(true_UX, true_U, "k+", alpha=0.5)
+        return ax
+
     def plot_f(self, dim: int = 0, num_points: int = 200, ax=None):
         import matplotlib.pyplot as plt
 
