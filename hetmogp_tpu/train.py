@@ -154,6 +154,11 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
     def step_fn(state: TrainState, data, scales):
         params = state.params
         use_cache = vem and state.Luu is not None
+        if fastp and use_cache and state.iLuu is None:
+            raise ValueError(
+                "TrainConfig.fast_projection=True but the train state has no "
+                "cached inverse — build it with init_train_state(..., "
+                "fast_projection=True)")
         if vem:
             is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
         if use_cache:

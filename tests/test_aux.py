@@ -136,3 +136,27 @@ def test_predictive_projected_mode():
         assert np.isfinite(np.asarray(arr)).all()
     # both are valid posteriors; means should be broadly consistent
     assert np.abs(np.asarray(mp_p[1]) - np.asarray(mp_d[1])).max() < 0.5
+
+
+def test_plotting_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig, SVMOGP
+
+    rng = np.random.RandomState(0)
+    X = [np.sort(rng.rand(20, 1), 0), np.sort(rng.rand(15, 1), 0)]
+    Y = [rng.randn(20, 1), (rng.rand(15, 1) > 0.5).astype(float)]
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=4, input_dim=1, dtype="float64")
+    m = SVMOGP(cfg, X, Y, np.linspace(0, 1, 4)[:, None],
+               key=jax.random.PRNGKey(0), lengthscale=0.3)
+    ax = m.plot_u(num_points=30)
+    assert len(ax.lines) >= 2
+    ax = m.plot_f(num_points=30)
+    assert len(ax.lines) >= 2  # one mean line per output function
+    Xp = np.linspace(0, 1, 25)[:, None]
+    ax = m.plot_pred([Xp, Xp], task=0)
+    assert len(ax.lines) >= 2
