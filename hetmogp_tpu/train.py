@@ -119,11 +119,13 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
 
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
     if train_config.optimizer == "adadelta":
-        # climin.Adadelta(step_rate, decay=0.9, momentum=0.9) analogue
+        # climin.Adadelta(step_rate, decay=0.9, momentum=0.9) analogue.
+        # scale_by_learning_rate applies the descent sign flip (-lr); a bare
+        # optax.scale(+lr) would ASCEND the loss.
         return optax.chain(
             optax.scale_by_adadelta(rho=0.9),
             optax.trace(decay=train_config.momentum),
-            optax.scale(train_config.step_rate),
+            optax.scale_by_learning_rate(train_config.step_rate),
         )
     if train_config.optimizer in ("adam", "natgrad_adam"):
         return optax.adam(train_config.step_rate)

@@ -119,12 +119,15 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_adadelta_optimizer_runs():
+def test_adadelta_optimizer_improves():
     cfg, params, X_list, Y_list = _problem()
     tc = TrainConfig(optimizer="adadelta", step_rate=0.05)
     stream = MinibatchStream(X_list, Y_list, 40, dtype=cfg.np_dtype)
-    new_params, hist = train_mod.svi_fit(params, cfg, tc, stream, 10, vem=True)
+    new_params, hist = train_mod.svi_fit(params, cfg, tc, stream, 60, vem=True)
     assert np.isfinite(hist).all()
+    # it must actually DESCEND the loss (regression test for the optax
+    # sign convention: scale(+lr) silently ascends)
+    assert hist[-10:].mean() > hist[:10].mean()
 
 
 def test_luu_cache_matches_uncached_steps():
