@@ -48,7 +48,8 @@ def safe_square(x):
 
 @functools.lru_cache(maxsize=None)
 def _var_exp_engine(lik):
-    return quadrature.make_var_exp(lik.logpdf, J=lik.dim_f, T=lik.T_var_exp)
+    return quadrature.make_var_exp(lik.logpdf, J=lik.dim_f, T=lik.T_var_exp,
+                                   mc_samples=getattr(lik, "mc_samples", 0))
 
 
 @functools.lru_cache(maxsize=None)

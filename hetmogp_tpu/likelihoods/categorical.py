@@ -30,6 +30,11 @@ class Categorical(Likelihood):
     # (categorical.py:264) and returns zeros; set True for the proper
     # law-of-total-variance class-probability variances instead.
     exact_predictive_variance: bool = False
+    # The reference's T^(K-1) tensor grid explodes at large K (10^(K-1)
+    # evaluations per point at T=10; categorical.py:139-158).  mc_samples>0
+    # switches var_exp to that many fixed antithetic quasi-MC nodes —
+    # O(mc_samples) regardless of K.  0 keeps the grid (oracle parity).
+    mc_samples: int = 0
 
     @property
     def dim_f(self):  # type: ignore[override]

@@ -75,15 +75,39 @@ def _diag_hessian(logpdf):
     return d2
 
 
-def make_var_exp(logpdf, J: int, T: int):
+@functools.lru_cache(maxsize=None)
+def mc_nodes(S: int, J: int, seed: int = 0):
+    """Fixed standard-normal nodes for quasi-MC expectations.
+
+    For multi-latent likelihoods where the tensor GH grid is infeasible
+    (categorical at K > ~4: 10^(K-1) nodes; SURVEY.md §5), a fixed set of S
+    normal draws with uniform weights plugs into the same engine: F = m +
+    sqrt(v) * eps_s.  Deterministic (build-time seed), so jit-stable and
+    reproducible; antithetic pairs halve the variance.
+    """
+    rng = np.random.RandomState(seed)
+    half = rng.standard_normal((S // 2, J))
+    eps = np.concatenate([half, -half], axis=0)  # antithetic
+    if eps.shape[0] < S:
+        eps = np.concatenate([eps, rng.standard_normal((1, J))], axis=0)
+    # engine convention: F = m + sqrt(2 v) * node  ->  node = eps / sqrt(2)
+    return eps / np.sqrt(2.0), np.full((eps.shape[0],), 1.0 / eps.shape[0])
+
+
+def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
     """Build ve(y, m, v) -> (N,) with reference-form custom VJP.
 
     Args:
       logpdf: scalar log-density, signature (f: (J,), y: (dim_y,)) -> ().
       J: number of latent parameter functions (dim_f).
-      T: GH nodes per dimension.
+      T: GH nodes per dimension (tensor grid T^J) — used when mc_samples=0.
+      mc_samples: if > 0, use that many fixed quasi-MC normal nodes instead
+        of the tensor grid (for large J where T^J explodes).
     """
-    nodes_np, weights_np = tensor_grid(T, J)
+    if mc_samples:
+        nodes_np, weights_np = mc_nodes(mc_samples, J)
+    else:
+        nodes_np, weights_np = tensor_grid(T, J)
     dlogp = jax.grad(logpdf, argnums=0)
     d2logp = _diag_hessian(logpdf)
 

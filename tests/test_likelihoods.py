@@ -191,3 +191,30 @@ def test_nlpd_reference_scaling_flag():
     a = float(lik.log_predictive(key, y, m, v, S, reference_scaling=True))
     b = float(lik.log_predictive(key, y, m, v, S, reference_scaling=False))
     np.testing.assert_allclose(a * S, b, rtol=1e-6)
+
+
+def test_categorical_mc_var_exp_large_K():
+    """K=8 would need 10^7 grid nodes; the MC path is O(mc_samples) and
+    agrees with the grid where both are computable (K=3)."""
+    rng = np.random.RandomState(9)
+    n = 8
+    # agreement at K=3
+    y3 = rng.randint(1, 4, (n, 1)).astype(float)
+    m3 = jnp.asarray(rng.randn(n, 2))
+    v3 = jnp.asarray(0.3 * rng.rand(n, 2) + 0.05)
+    grid = L.Categorical(K=3)
+    mc = L.Categorical(K=3, mc_samples=8192)
+    a = np.asarray(grid.var_exp(jnp.asarray(y3), m3, v3))
+    b = np.asarray(mc.var_exp(jnp.asarray(y3), m3, v3))
+    np.testing.assert_allclose(b, a, rtol=0.05, atol=0.02)
+
+    # feasibility + finite gradients at K=8
+    big = L.Categorical(K=8, mc_samples=256)
+    y8 = jnp.asarray(rng.randint(1, 9, (n, 1)).astype(float))
+    m8 = jnp.asarray(rng.randn(n, 7))
+    v8 = jnp.asarray(0.3 * rng.rand(n, 7) + 0.05)
+    ve = big.var_exp(y8, m8, v8)
+    assert np.isfinite(np.asarray(ve)).all()
+    dm, dv = big.var_exp_derivatives(y8, m8, v8)
+    assert np.isfinite(np.asarray(dm)).all() and np.isfinite(np.asarray(dv)).all()
+    assert (np.asarray(dv) <= 1e-12).all()  # E[d2logp]/2 is nonpositive here

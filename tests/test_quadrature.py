@@ -80,3 +80,30 @@ def test_mc_log_predictive_converges_to_truth():
     expect = np.sum(-0.5 * np.log(2 * np.pi * (1 + v))
                     - 0.5 * (y - m) ** 2 / (1 + v))
     np.testing.assert_allclose(float(got), expect, rtol=2e-3)
+
+
+def test_mc_nodes_moments():
+    nodes, w = quadrature.mc_nodes(256, 3)
+    assert nodes.shape == (256, 3) and w.shape == (256,)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
+    # antithetic pairs: exact zero mean in engine units
+    np.testing.assert_allclose(nodes.T @ w, 0.0, atol=1e-12)
+    # engine convention E[f^2] target is 0.5 (nodes are eps/sqrt(2))
+    np.testing.assert_allclose((nodes ** 2).T @ w, 0.5, atol=0.08)
+
+
+def test_mc_var_exp_approximates_grid():
+    """MC engine converges to the exact (quadrature) value."""
+
+    def logpdf2(f, y):
+        return -0.5 * jnp.square(y[0] - f[0]) - 0.25 * jnp.square(f[1])
+
+    ve_grid = quadrature.make_var_exp(logpdf2, J=2, T=10)
+    ve_mc = quadrature.make_var_exp(logpdf2, J=2, T=0, mc_samples=4096)
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(6, 1))
+    m = jnp.asarray(rng.randn(6, 2))
+    v = jnp.asarray(0.4 * rng.rand(6, 2) + 0.1)
+    a = np.asarray(ve_grid(y, m, v))
+    b = np.asarray(ve_mc(y, m, v))
+    np.testing.assert_allclose(b, a, rtol=0.05, atol=0.05)
