@@ -38,7 +38,8 @@ from hetmogp_tpu.likelihoods import (
     Poisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
-from hetmogp_tpu.train import vem_algorithm, svi_fit
+from hetmogp_tpu.train import svi_fit, svi_fit_on_device, vem_algorithm
+from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
 from hetmogp_tpu.data import MinibatchStream, batch_scales
 
 __all__ = [
@@ -62,6 +63,9 @@ __all__ = [
     "init_params",
     "vem_algorithm",
     "svi_fit",
+    "svi_fit_on_device",
+    "save_checkpoint",
+    "load_checkpoint",
     "MinibatchStream",
     "batch_scales",
 ]
