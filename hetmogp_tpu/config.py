@@ -158,6 +158,8 @@ class TrainConfig:
     # Replace per-task triangular solves with matmuls against a cached
     # explicit triangular inverse (MXU-friendly; TPU triangular solves are
     # sequential).  Slightly different roundoff than the solve path.
-    # EXPERIMENTAL: can destabilize long f32 runs at M~1024 once hypers
-    # drift toward ill-conditioned Kuu; the benchmark uses the solve path.
+    # EXPERIMENTAL: at cond(Kuu) ~ 1e6+ in float32 the explicit inverse
+    # yields ~1% ELBO error and grossly wrong variational gradients
+    # (measured: 75% error at M=1024), diverging training.  Use only for
+    # well-conditioned Kuu; the benchmark uses the solve path.
     fast_projection: bool = False

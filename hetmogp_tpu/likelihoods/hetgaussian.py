@@ -24,8 +24,10 @@ class HetGaussian(Likelihood):
     dim_f: ClassVar[int] = 2
 
     def logpdf(self, f, y):
-        # -0.5 log 2pi - f2/2 - (y - f1)^2 / (2 e^{f2}) — reference :29-33
-        e_var = safe_exp(f[1])
+        # -0.5 log 2pi - f2/2 - (y - f1)^2 / (2 e^{f2}) — reference :29-33.
+        # The variance floor guards exp-underflow at extreme quadrature
+        # nodes (inactive at |f2| < ~20, so parity values are unchanged).
+        e_var = jnp.maximum(safe_exp(f[1]), 1e-9)
         ym = y[0] - f[0]
         return -0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * f[1] - 0.5 * safe_square(ym) / e_var
 

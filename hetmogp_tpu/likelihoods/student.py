@@ -27,7 +27,10 @@ class StudentT(Likelihood):
     def logpdf(self, f, y):
         v = self.df
         g = jax.scipy.special.gammaln
-        scale = safe_exp(f[1])
+        # clip like the reference's scale-family likelihoods (e.g.
+        # exponential.py:29-31): exp underflow to a zero scale would make
+        # the residual infinite at extreme quadrature nodes
+        scale = jnp.clip(safe_exp(f[1]), 1e-9, 1e9)
         r = (y[0] - f[0]) / scale
         return (g((v + 1.0) / 2.0) - g(v / 2.0)
                 - 0.5 * jnp.log(v * jnp.pi) - f[1]
