@@ -29,7 +29,7 @@ _LIK_POOL = [
 ]
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(4))
 def test_random_config_elbo_grads_predictions_finite(seed):
     rng = np.random.RandomState(seed)
     T = rng.randint(1, 5)
