@@ -57,6 +57,15 @@ class ModelConfig:
     dtype: str = "float32"
     kernel: str = "rbf"
     ard: bool = False
+    # Factorize Kuu in this dtype (upcast -> Cholesky/inverse -> downcast).
+    # "float64" is an accuracy island for large-M float32 training: the f32
+    # factorization of a cond ~ 1e6 gram loses ~half its digits.  Measured
+    # on TPU v5e at M=1024: the f64 forward Cholesky is ~2x f32, it makes
+    # fast_projection stable (3000+ steps, converging), BUT differentiating
+    # through the emulated-f64 factorization on VM steps costs ~0.7s/step
+    # (~40x total slowdown) — use for accuracy-critical/predict-only runs,
+    # not the training hot loop.  Requires jax_enable_x64.
+    chol_dtype: str = "same"
 
     # ---- derived static metadata ------------------------------------------------
     @property

@@ -102,9 +102,17 @@ class TrainState(NamedTuple):
     iLuu: Any = None
 
 
-def _tri_inverse(Luu: jnp.ndarray) -> jnp.ndarray:
-    eye = jnp.eye(Luu.shape[-1], dtype=Luu.dtype)
-    return linalg.solve_tri(Luu, jnp.broadcast_to(eye, Luu.shape))
+def _tri_inverse(Luu: jnp.ndarray, precise: bool = True) -> jnp.ndarray:
+    """Explicit triangular inverse.  With ``precise`` (and x64 enabled),
+    invert in float64 and downcast: the f32-computed inverse of an
+    ill-conditioned factor carries ~1e-4 relative error that poisons
+    fast-projection gradients (measured 75% gradient error at M=1024)."""
+    dt = Luu.dtype
+    work = jnp.float64 if (precise and jax.config.jax_enable_x64
+                           and dt != jnp.float64) else dt
+    L = Luu.astype(work)
+    eye = jnp.eye(L.shape[-1], dtype=work)
+    return linalg.solve_tri(L, jnp.broadcast_to(eye, L.shape)).astype(dt)
 
 
 def init_train_state(params: SVMOGPParams, config: ModelConfig,

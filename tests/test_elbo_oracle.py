@@ -192,3 +192,15 @@ def test_elbo_gradients_match_oracle_fd():
         got = float(np.sum(np.asarray(grads[i]) * direction))
         np.testing.assert_allclose(got, fd, rtol=2e-5, atol=1e-7,
                                    err_msg=f"gradient mismatch for {name}")
+
+
+def test_chol_dtype_island_matches_same_dtype():
+    """chol_dtype='float64' must agree with the plain path in float64 mode
+    (trivially) and produce close values from a float32 config."""
+    import dataclasses
+
+    cfg, params, data, scales, oa = _mixed_problem()
+    e_plain, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg)
+    cfg64 = dataclasses.replace(cfg, chol_dtype="float64")
+    e_island, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg64)
+    np.testing.assert_allclose(float(e_island), float(e_plain), rtol=1e-12)
