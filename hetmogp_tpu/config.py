@@ -60,10 +60,11 @@ class ModelConfig:
     # Factorize Kuu in this dtype (upcast -> Cholesky/inverse -> downcast).
     # "float64" is an accuracy island for large-M float32 training: the f32
     # factorization of a cond ~ 1e6 gram loses ~half its digits.  Measured
-    # on TPU v5e at M=1024: the f64 forward Cholesky is ~2x f32, it makes
-    # fast_projection stable (3000+ steps, converging), BUT differentiating
-    # through the emulated-f64 factorization on VM steps costs ~0.7s/step
-    # (~40x total slowdown) — use for accuracy-critical/predict-only runs,
+    # on TPU v5e at M=1024: standalone the f64 forward Cholesky is only ~2x
+    # f32 and it makes fast_projection stable (3000+ steps, converging),
+    # but inside the compiled training scan the island measures ~40x slower
+    # end-to-end (emulated-f64 op scheduling) even with the mixed-precision
+    # custom-VJP Cholesky — use for accuracy-critical/predict-only paths,
     # not the training hot loop.  Requires jax_enable_x64.
     chol_dtype: str = "same"
 

@@ -68,11 +68,10 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig) -> jnp.ndarray:
     Kuu = kernels.K_gram_batched(config.kernel, params.Z, params.lengthscale,
                                  params.variance)
     if config.chol_dtype == "float64" and Kuu.dtype != jnp.float64:
-        # accuracy island: factorize in f64, return the factor in the
-        # working dtype (requires jax_enable_x64; see ModelConfig)
-        L = linalg.jitchol(Kuu.astype(jnp.float64), jitter=config.jitter,
-                           adaptive=config.adaptive_jitter)
-        return L.astype(Kuu.dtype)
+        # accuracy island: f64 forward / working-dtype backward Cholesky
+        # (requires jax_enable_x64; fixed jitter only — see ModelConfig)
+        eye = jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype)
+        return linalg.chol_mixed(Kuu + config.jitter * eye)
     return linalg.jitchol(Kuu, jitter=config.jitter,
                           adaptive=config.adaptive_jitter)
 

@@ -124,6 +124,46 @@ def cho_solve_batched(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return solve_tri(L, solve_tri(L, B), trans=True)
 
 
+@jax.custom_vjp
+def chol_mixed(K: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky with float64 forward and working-dtype backward.
+
+    For float32 K: the factor is computed in f64 and downcast — recovering
+    the ~half of the significand a f32 factorization loses at
+    cond(K) ~ 1e6 — while the backward pass runs the standard Cholesky
+    pullback with f32 triangular solves (differentiating through an
+    emulated-f64 factorization on TPU costs ~0.7s at (4, 1024, 1024);
+    the f32 pullback is ~1000x cheaper).  Requires jax_enable_x64 for the
+    f64 forward; falls back to plain Cholesky otherwise.
+    """
+    if K.dtype == jnp.float64 or not jax.config.jax_enable_x64:
+        return jnp.linalg.cholesky(K)
+    return jnp.linalg.cholesky(K.astype(jnp.float64)).astype(K.dtype)
+
+
+def _phi(A):
+    """Lower triangle with halved diagonal (Cholesky pullback helper)."""
+    return jnp.tril(A) - 0.5 * jnp.triu(jnp.tril(A))  # tril, diag * 0.5
+
+
+def _chol_mixed_fwd(K):
+    L = chol_mixed(K)
+    return L, L
+
+
+def _chol_mixed_bwd(L, gL):
+    # standard Cholesky pullback: Kbar = 0.5 (S + S^T),
+    # S = L^{-T} Phi(L^T gL) L^{-1}, computed with two triangular solves
+    P = _phi(jnp.swapaxes(L, -1, -2) @ gL)
+    T1 = solve_tri(L, P, trans=True)  # L^{-T} P
+    S = jnp.swapaxes(solve_tri(L, jnp.swapaxes(T1, -1, -2), trans=True),
+                     -1, -2)  # T1 L^{-1}
+    return (0.5 * (S + jnp.swapaxes(S, -1, -2)),)
+
+
+chol_mixed.defvjp(_chol_mixed_fwd, _chol_mixed_bwd)
+
+
 def newton_schulz_inv_sqrt(K: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     """Matmul-only symmetric inverse square root via coupled Newton-Schulz.
 

@@ -103,16 +103,27 @@ class TrainState(NamedTuple):
 
 
 def _tri_inverse(Luu: jnp.ndarray, precise: bool = True) -> jnp.ndarray:
-    """Explicit triangular inverse.  With ``precise`` (and x64 enabled),
-    invert in float64 and downcast: the f32-computed inverse of an
-    ill-conditioned factor carries ~1e-4 relative error that poisons
-    fast-projection gradients (measured 75% gradient error at M=1024)."""
+    """Explicit triangular inverse.
+
+    The f32-computed inverse of an ill-conditioned factor carries ~1e-4
+    relative error that poisons fast-projection gradients (measured 75%
+    gradient error at M=1024).  With ``precise`` (and x64 enabled), the
+    fast f32 solve is followed by two Newton refinement steps
+    X <- X (2I - L X) carried out in f64 *matmuls* (quadratic error
+    contraction; a direct f64 triangular solve is emulated serially on TPU
+    and costs ~100x more than the f64 matmuls)."""
     dt = Luu.dtype
-    work = jnp.float64 if (precise and jax.config.jax_enable_x64
-                           and dt != jnp.float64) else dt
-    L = Luu.astype(work)
-    eye = jnp.eye(L.shape[-1], dtype=work)
-    return linalg.solve_tri(L, jnp.broadcast_to(eye, L.shape)).astype(dt)
+    m = Luu.shape[-1]
+    eye = jnp.eye(m, dtype=dt)
+    iL = linalg.solve_tri(Luu, jnp.broadcast_to(eye, Luu.shape))
+    if precise and jax.config.jax_enable_x64 and dt != jnp.float64:
+        L64 = Luu.astype(jnp.float64)
+        X = iL.astype(jnp.float64)
+        eye64 = jnp.eye(m, dtype=jnp.float64)
+        for _ in range(2):
+            X = X @ (2.0 * eye64 - L64 @ X)
+        iL = jnp.tril(X).astype(dt)
+    return iL
 
 
 def init_train_state(params: SVMOGPParams, config: ModelConfig,

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg as sla
@@ -83,3 +84,27 @@ def test_newton_schulz_inv_sqrt_f64():
     for q in range(2):
         np.testing.assert_allclose(R[q] @ K[q] @ R[q], np.eye(32), atol=1e-8)
         np.testing.assert_allclose(R[q], R[q].T, atol=1e-12)
+
+
+def test_chol_mixed_value_and_gradient():
+    """chol_mixed must equal plain Cholesky in value and VJP (f64 case is
+    exactly the same computation, so the hand-written pullback is validated
+    against jax's own)."""
+    rng = np.random.RandomState(11)
+    A = rng.randn(3, 10, 4)
+    K = A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(10)
+    L_ref = np.linalg.cholesky(K)
+    L_got = np.asarray(linalg.chol_mixed(jnp.asarray(K)))
+    np.testing.assert_allclose(L_got, L_ref, atol=1e-10)
+
+    g = rng.randn(3, 10, 10)
+
+    def f_ref(K):
+        return jnp.sum(jnp.linalg.cholesky(K) * g)
+
+    def f_got(K):
+        return jnp.sum(linalg.chol_mixed(K) * g)
+
+    gr = np.asarray(jax.grad(f_ref)(jnp.asarray(K)))
+    gg = np.asarray(jax.grad(f_got)(jnp.asarray(K)))
+    np.testing.assert_allclose(gg, gr, atol=1e-8)
