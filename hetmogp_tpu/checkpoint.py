@@ -24,9 +24,16 @@ def _flatten_with_paths(tree):
     return leaves, treedef
 
 
+def _normalize(path) -> Path:
+    """np.savez always appends '.npz' to suffix-less names; pin the suffix on
+    both save and load so save('ckpt') + load('ckpt') round-trips."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
+
+
 def save_checkpoint(path, params: SVMOGPParams, opt_state: Any = None,
                     step: int = 0, extra: Optional[dict] = None):
-    path = Path(path)
+    path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
     p_leaves, _ = jax.tree_util.tree_flatten(params)
@@ -48,7 +55,7 @@ def load_checkpoint(path, params_template: SVMOGPParams,
                     ) -> Tuple[SVMOGPParams, Any, int, dict]:
     """Restore (params, opt_state, step, extra) using pytree templates for
     structure (shapes are validated against the saved arrays)."""
-    with np.load(Path(path), allow_pickle=False) as z:
+    with np.load(_normalize(path), allow_pickle=False) as z:
         meta = json.loads(bytes(z["_meta"]).decode())
         p_leaves, p_def = jax.tree_util.tree_flatten(params_template)
         new_p = []
@@ -63,6 +70,14 @@ def load_checkpoint(path, params_template: SVMOGPParams,
         opt_state = None
         if opt_state_template is not None and meta["n_opt"]:
             o_leaves, o_def = jax.tree_util.tree_flatten(opt_state_template)
-            new_o = [z[f"opt_{i}"] for i in range(len(o_leaves))]
+            new_o = []
+            for i, leaf in enumerate(o_leaves):
+                arr = z[f"opt_{i}"]
+                tmpl = np.asarray(leaf)
+                if arr.shape != tmpl.shape:
+                    raise ValueError(
+                        f"checkpoint opt_state leaf {i} shape {arr.shape} != "
+                        f"template {tmpl.shape}")
+                new_o.append(arr.astype(tmpl.dtype))
             opt_state = jax.tree_util.tree_unflatten(o_def, new_o)
         return params, opt_state, meta["step"], meta["extra"]

@@ -43,7 +43,9 @@ class MinibatchStream:
                  batch_sizes, *, shuffle: bool = True, seed: int = 0,
                  pad_multiple: int = 1, dtype=None):
         self.X_list = [np.asarray(x) for x in X_list]
-        self.Y_list = [np.atleast_2d(np.asarray(y)) if np.asarray(y).ndim == 1
+        # 1-D Y means one observation column (N,) -> (N, 1); same contract
+        # as full_batch/task_data (np.atleast_2d would wrongly make (1, N))
+        self.Y_list = [np.asarray(y)[:, None] if np.asarray(y).ndim == 1
                        else np.asarray(y) for y in Y_list]
         T = len(self.X_list)
         if isinstance(batch_sizes, int):

@@ -55,7 +55,8 @@ def _var_exp_engine(lik):
 @functools.lru_cache(maxsize=None)
 def _predictive_engine(lik):
     return quadrature.make_predictive(
-        lik.conditional_moments, dim_p=lik.dim_p, J=lik.dim_f, T=lik.T_pred)
+        lik.conditional_moments, dim_p=lik.dim_p, J=lik.dim_f, T=lik.T_pred,
+        mc_samples=getattr(lik, "mc_samples", 0))
 
 
 from typing import ClassVar

@@ -21,6 +21,9 @@ from hetmogp_tpu.ops import quadrature
 @dataclasses.dataclass(frozen=True)
 class Dirichlet(Likelihood):
     K: int = 3
+    # tensor grids are T^K; mc_samples > 0 swaps both var_exp and predictive
+    # to that many fixed quasi-MC nodes — O(mc_samples) regardless of K
+    mc_samples: int = 0
 
     @property
     def dim_y(self):  # type: ignore[override]
@@ -39,6 +42,12 @@ class Dirichlet(Likelihood):
         # tensor grid is T^K — use the multi-latent count like the
         # reference's other multi-latent likelihoods
         return quadrature.MULTI_T if self.K <= 2 else 5
+
+    @property
+    def T_pred(self):  # type: ignore[override]
+        # same K-scaled node count as T_var_exp: the default T=20 would make
+        # predictive() build a 20^K grid (8,000 nodes at K=3, 3.2M at K=5)
+        return self.T_var_exp
 
     def ismulti(self) -> bool:
         return True

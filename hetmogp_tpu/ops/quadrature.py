@@ -142,7 +142,8 @@ def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
     return ve
 
 
-def make_predictive(cond_moments, dim_p: int, J: int, T: int):
+def make_predictive(cond_moments, dim_p: int, J: int, T: int,
+                    mc_samples: int = 0):
     """Generic observation-space predictive moments via GH quadrature.
 
     E[y*] = E_q[mean(f)],  V[y*] = E_q[var(f)] + E_q[mean(f)^2] - E[y*]^2 —
@@ -151,8 +152,13 @@ def make_predictive(cond_moments, dim_p: int, J: int, T: int):
 
     Args:
       cond_moments: (f: (J,)) -> (mean: (dim_p,), var: (dim_p,)).
+      mc_samples: if > 0, replace the T^J tensor grid with that many fixed
+        quasi-MC nodes (same escape hatch as make_var_exp, for large J).
     """
-    nodes_np, weights_np = tensor_grid(T, J)
+    if mc_samples:
+        nodes_np, weights_np = mc_nodes(mc_samples, J)
+    else:
+        nodes_np, weights_np = tensor_grid(T, J)
 
     def predictive(m, v):
         nodes = jnp.asarray(nodes_np, dtype=m.dtype)

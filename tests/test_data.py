@@ -94,3 +94,17 @@ def test_init_z_kmeans():
     near_0 = (np.linalg.norm(Z, axis=1) < 1.0).sum()
     near_5 = (np.linalg.norm(Z - 5.0, axis=1) < 1.0).sum()
     assert near_0 > 0 and near_5 > 0 and near_0 + near_5 == 8
+
+
+def test_minibatch_stream_1d_y():
+    """1-D Y must mean one observation column (N,1), matching full_batch
+    (regression: np.atleast_2d produced a (1,N) row and next() crashed)."""
+    X, _ = _xy(20)
+    y = np.arange(20.0)  # 1-D
+    st = MinibatchStream([X], [y], 8, shuffle=False)
+    (td,), scales = st.next()
+    assert np.asarray(td.Y).shape == (8, 1)
+    np.testing.assert_array_equal(np.asarray(td.Y)[:, 0], y[:8])
+    # matches the full_batch contract on the same inputs
+    (fb,), _ = full_batch([X], [y])
+    assert np.asarray(fb.Y).shape == (20, 1)

@@ -153,3 +153,24 @@ def test_student_in_model():
     model.fit_svi(batch_size=25, num_steps=40,
                   train_config=TrainConfig(optimizer="adam", step_rate=0.05))
     assert model.log_likelihood() > e0
+
+
+def test_dirichlet_predictive_scales_with_K():
+    """T_pred follows the K-scaled node count (no 20^K grid), and the
+    mc_samples escape hatch keeps K=8 predictive cheap."""
+    lik3 = Dirichlet(K=3)
+    assert lik3.T_pred == lik3.T_var_exp == 5  # 125 nodes, not 8000
+    n = 4
+    rng = np.random.RandomState(0)
+    M = jnp.asarray(rng.randn(n, 3) * 0.3)
+    V = jnp.asarray(rng.rand(n, 3) * 0.2 + 0.05)
+    mp, vp = lik3.predictive(M, V)
+    assert np.isfinite(mp).all() and (np.asarray(vp) >= 0).all()
+    np.testing.assert_allclose(np.asarray(mp).sum(-1), 1.0, atol=1e-6)
+
+    lik8 = Dirichlet(K=8, mc_samples=64)
+    M8 = jnp.asarray(rng.randn(n, 8) * 0.3)
+    V8 = jnp.asarray(rng.rand(n, 8) * 0.2 + 0.05)
+    mp8, vp8 = lik8.predictive(M8, V8)  # 64 nodes, not 5^8=390k
+    assert mp8.shape == (n, 8) and np.isfinite(mp8).all()
+    np.testing.assert_allclose(np.asarray(mp8).sum(-1), 1.0, atol=1e-3)

@@ -174,3 +174,37 @@ def test_fast_projection_matches_solve_path():
     for a, b in zip(jax.tree_util.tree_leaves(sa.params),
                     jax.tree_util.tree_leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8)
+
+
+def test_checkpoint_extensionless_path_and_opt_dtype(tmp_path):
+    """save('ckpt') + load('ckpt') round-trips (np.savez appends .npz), and
+    opt_state leaves are shape-validated + cast to the template dtype."""
+    import pytest
+
+    from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam")
+    opt = train_mod.make_optimizer(tc)
+    opt_state = opt.init(params)
+
+    p = tmp_path / "ckpt"  # no suffix
+    save_checkpoint(p, params, opt_state, step=3)
+    params2, opt2, step, _ = load_checkpoint(p, params, opt_state)
+    assert step == 3
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(opt2)):
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stale checkpoint with mismatched opt_state shapes must fail loudly
+    bad_tmpl = jax.tree_util.tree_map(
+        lambda x: np.zeros(np.asarray(x).shape + (2,)) if np.ndim(x) else x,
+        opt_state)
+    leaves_differ = any(
+        np.shape(a) != np.shape(b)
+        for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                        jax.tree_util.tree_leaves(bad_tmpl)))
+    assert leaves_differ
+    with pytest.raises(ValueError, match="opt_state"):
+        load_checkpoint(p, params, bad_tmpl)
