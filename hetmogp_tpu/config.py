@@ -157,6 +157,11 @@ class TrainConfig:
     batch_inner_iters: int = 100
     step_rate: float = 0.01
     momentum: float = 0.9
+    # climin Adadelta's remaining knobs (climin defaults decay=0.9,
+    # offset=1e-4); the reference passes only step_rate and momentum
+    # (util.py:327)
+    adadelta_decay: float = 0.9
+    adadelta_offset: float = 1e-4
     ve_steps_per_vm: int = 4
     optimizer: str = "adadelta"  # "adadelta" | "adam" | "natgrad_adam"
     natgrad_lr: float = 0.1

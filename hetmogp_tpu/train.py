@@ -136,16 +136,78 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
                       iLuu)
 
 
+class CliminAdadeltaState(NamedTuple):
+    """climin Adadelta accumulators: grad mean square, step mean square, and
+    the previous total step (for the momentum term)."""
+
+    gms: Any
+    sms: Any
+    step: Any
+
+
+def climin_adadelta(step_rate: float, decay: float = 0.9,
+                    momentum: float = 0.9, offset: float = 1e-4
+                    ) -> optax.GradientTransformation:
+    """climin's literal Adadelta update rule as an optax transformation.
+
+    The reference trains SVI with ``climin.Adadelta(wrt, grad, step_rate,
+    momentum=0.9)`` (util.py:321-329).  climin's per-iteration arithmetic
+    (climin 0.1a1 adadelta.py, reconstructed — climin is not installable
+    here) is:
+
+        step1 = momentum * step_{k-1}          # applied to wrt BEFORE the
+        wrt  -= step1                          # gradient evaluation
+        g     = grad(wrt)                      # Nesterov-style lookahead
+        gms   = decay*gms + (1-decay) g^2
+        step2 = sqrt(sms+offset)/sqrt(gms+offset) * g * step_rate
+        wrt  -= step2
+        step  = step1 + step2
+        sms   = decay*sms + (1-decay) step^2
+
+    This transformation returns ``-(step1 + step2)`` as the update, with
+    exactly those accumulator updates.  For the full lookahead semantics the
+    gradient must be evaluated at ``params - momentum*step_{k-1}`` — the SVI
+    step does that automatically when this optimizer is selected (see
+    ``adadelta_lookahead_point``); trained this way the trajectory matches a
+    literal climin loop to machine precision (tests/test_train.py).
+    """
+    t = jax.tree_util.tree_map
+
+    def init_fn(params):
+        z = t(jnp.zeros_like, params)
+        return CliminAdadeltaState(gms=z, sms=z, step=z)
+
+    def update_fn(grads, state, params=None):
+        del params
+        step1 = t(lambda s: momentum * s, state.step)
+        gms = t(lambda a, g: decay * a + (1.0 - decay) * jnp.square(g),
+                state.gms, grads)
+        step2 = t(lambda s, a, g:
+                  jnp.sqrt(s + offset) / jnp.sqrt(a + offset) * g * step_rate,
+                  state.sms, gms, grads)
+        step = t(jnp.add, step1, step2)
+        sms = t(lambda s, st: decay * s + (1.0 - decay) * jnp.square(st),
+                state.sms, step)
+        updates = t(jnp.negative, step)
+        return updates, CliminAdadeltaState(gms=gms, sms=sms, step=step)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adadelta_lookahead_point(params, opt_state, momentum: float):
+    """climin evaluates the gradient at ``wrt - momentum*step_{k-1}``."""
+    return jax.tree_util.tree_map(
+        lambda p, s: p - momentum * s, params, opt_state.step)
+
+
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
     if train_config.optimizer == "adadelta":
-        # climin.Adadelta(step_rate, decay=0.9, momentum=0.9) analogue.
-        # scale_by_learning_rate applies the descent sign flip (-lr); a bare
-        # optax.scale(+lr) would ASCEND the loss.
-        return optax.chain(
-            optax.scale_by_adadelta(rho=0.9),
-            optax.trace(decay=train_config.momentum),
-            optax.scale_by_learning_rate(train_config.step_rate),
-        )
+        # exact climin rule (see climin_adadelta); the SVI step adds the
+        # momentum-lookahead gradient evaluation
+        return climin_adadelta(train_config.step_rate,
+                               decay=train_config.adadelta_decay,
+                               momentum=train_config.momentum,
+                               offset=train_config.adadelta_offset)
     if train_config.optimizer in ("adam", "natgrad_adam"):
         return optax.adam(train_config.step_rate)
     raise ValueError(f"unknown optimizer {train_config.optimizer!r}")
@@ -171,9 +233,19 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
 
     cycle = train_config.ve_steps_per_vm + 1
     fastp = train_config.fast_projection
+    lookahead = (train_config.optimizer == "adadelta"
+                 and train_config.momentum > 0.0)
 
     def step_fn(state: TrainState, data, scales):
         params = state.params
+        if lookahead:
+            # climin applies the momentum step BEFORE the gradient eval;
+            # grads are taken at the shifted point, updates (which include
+            # that momentum step) at the stored params
+            grad_point = adadelta_lookahead_point(params, state.opt_state,
+                                                  train_config.momentum)
+        else:
+            grad_point = params
         use_cache = vem and state.Luu is not None
         if fastp and use_cache and state.iLuu is None:
             raise ValueError(
@@ -204,10 +276,10 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                     p, data, scales)
 
             (neg_elbo, aux), grads = jax.lax.cond(is_ve, ve_branch,
-                                                  vm_branch, params)
+                                                  vm_branch, grad_point)
         else:
             (neg_elbo, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, data, scales)
+                loss_fn, has_aux=True)(grad_point, data, scales)
         if vem:
             mask = _blend_masks(ve_mask(params),
                                vm_mask(params, train_config), is_ve)

@@ -208,3 +208,50 @@ def test_checkpoint_extensionless_path_and_opt_dtype(tmp_path):
     assert leaves_differ
     with pytest.raises(ValueError, match="opt_state"):
         load_checkpoint(p, params, bad_tmpl)
+
+
+def test_climin_adadelta_matches_numpy_replica():
+    """The adadelta optimizer + lookahead wiring reproduces a literal climin
+    loop (step1 momentum pre-step, gradient at the shifted point, gms/sms
+    accumulators with offset) to 1e-12 over 100 steps."""
+    import jax.numpy as jnp
+
+    step_rate, decay, momentum, offset = 0.05, 0.9, 0.9, 1e-4
+    A = np.diag([1.0, 3.0, 0.5, 10.0])
+    b = np.array([1.0, -2.0, 0.5, 3.0])
+
+    def np_grad(w):
+        return A @ w - b
+
+    # --- hand-written climin replica -------------------------------------
+    w = np.array([2.0, 2.0, -1.0, 0.5])
+    gms = np.zeros_like(w)
+    sms = np.zeros_like(w)
+    step = np.zeros_like(w)
+    traj_np = []
+    for _ in range(100):
+        step1 = momentum * step
+        w = w - step1
+        g = np_grad(w)
+        gms = decay * gms + (1 - decay) * g ** 2
+        step2 = np.sqrt(sms + offset) / np.sqrt(gms + offset) * g * step_rate
+        w = w - step2
+        step = step1 + step2
+        sms = decay * sms + (1 - decay) * step ** 2
+        traj_np.append(w.copy())
+
+    # --- the optax transformation + lookahead, as the SVI step wires it ---
+    opt = train_mod.climin_adadelta(step_rate, decay=decay,
+                                    momentum=momentum, offset=offset)
+    wj = jnp.asarray([2.0, 2.0, -1.0, 0.5], jnp.float64)
+    st = opt.init(wj)
+    traj_j = []
+    for _ in range(100):
+        w_eval = train_mod.adadelta_lookahead_point(wj, st, momentum)
+        g = jnp.asarray(A, jnp.float64) @ w_eval - jnp.asarray(b, jnp.float64)
+        upd, st = opt.update(g, st)
+        wj = wj + upd
+        traj_j.append(np.asarray(wj))
+
+    np.testing.assert_allclose(np.stack(traj_j), np.stack(traj_np),
+                               rtol=0, atol=1e-12)
