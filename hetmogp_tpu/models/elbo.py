@@ -77,7 +77,8 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig) -> jnp.ndarray:
 
 
 def latent_projections(params: SVMOGPParams, config: ModelConfig,
-                       Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None):
+                       Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None,
+                       q_moments=None):
     """Shared per-latent projection terms at inputs X.
 
     Returns:
@@ -90,11 +91,28 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
     variance term uses P L~ and P directly.  Un-whitened: A = Kuu^{-1} Kuf
     via two triangular solves (reference computed A with dpotrs at
     svmogp_inf.py:214).
+
+    Args:
+      q_moments: optional (m, S) with m: (Q, M) and S: (Q, M, M) full
+        covariances — the natural-gradient path differentiates the ELBO with
+        respect to (m, S) directly (train.natgrad_update), so the variance
+        term contracts against S instead of the Cholesky factor.  None uses
+        params.q_mu / tril(params.q_sqrt).
     """
     Kfu = kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
                             params.variance)  # (Q, N, M)
     kdiag = kernels.Kdiag_batched(config.kernel, X, params.variance)  # (Q, N)
-    Lq = jnp.tril(params.q_sqrt)  # (Q, M, M)
+    if q_moments is None:
+        m_u, S, Lq = params.q_mu, None, jnp.tril(params.q_sqrt)
+    else:
+        m_u, S = q_moments
+        Lq = None
+
+    def _var_term(B):
+        """diag(B S B^T) from either the factor or the full covariance."""
+        if S is None:
+            return linalg.quad_diag(B, Lq)
+        return jnp.einsum("qnm,qmk,qnk->qn", B, S, B)
 
     if iLuu is not None:
         # fast path: explicit triangular inverse cached by the trainer —
@@ -106,9 +124,9 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
         R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # Luu^{-1} Kuf
         P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
     if config.whiten:
-        mean_q = jnp.einsum("qnm,qm->qn", P, params.q_mu)
+        mean_q = jnp.einsum("qnm,qm->qn", P, m_u)
         gamma_q = (kdiag
-                   + linalg.quad_diag(P, Lq)
+                   + _var_term(P)
                    - jnp.sum(jnp.square(P), axis=-1))
     else:
         if iLuu is not None:
@@ -117,16 +135,16 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
             A = jnp.swapaxes(
                 linalg.solve_tri(Luu, jnp.swapaxes(P, -1, -2), trans=True),
                 -1, -2)  # (Q, N, M)
-        mean_q = jnp.einsum("qnm,qm->qn", A, params.q_mu)
+        mean_q = jnp.einsum("qnm,qm->qn", A, m_u)
         gamma_q = (kdiag
-                   + linalg.quad_diag(A, Lq)
+                   + _var_term(A)
                    - jnp.sum(A * Kfu, axis=-1))
     return mean_q, gamma_q, kdiag
 
 
 def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
                     X: jnp.ndarray, task: int, clip_variance: bool = True,
-                    iLuu=None):
+                    iLuu=None, q_moments=None, var_floor: float = 0.0):
     """Marginal moments of q(f_d) for every parameter function d of a task.
 
     Returns (m_F, v_F), each (N_t, F_t).  Mixing: m_fd = sum_q w_qd mean_q,
@@ -140,12 +158,12 @@ def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
     Wt = params.W[:, start:stop]  # (Q, F_t)
     Kt = params.kappa[:, start:stop]
     mean_q, gamma_q, kdiag = latent_projections(params, config, Luu, X,
-                                                iLuu=iLuu)
+                                                iLuu=iLuu, q_moments=q_moments)
     m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
     v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
            + jnp.einsum("qn,qj->nj", kdiag, Kt))
     if clip_variance:
-        v_F = jnp.maximum(v_F, 0.0)
+        v_F = jnp.maximum(v_F, var_floor)
     return m_F, v_F
 
 

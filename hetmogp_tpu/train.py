@@ -552,7 +552,9 @@ def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
 
     Avoids Cholesky in the differentiated path so dELBO/dS has the clean
     symmetric form needed for natural-parameter updates: variance terms are
-    linear in S; the KL uses slogdet (whose gradient is S^{-1}).
+    linear in S; the KL uses slogdet (whose gradient is S^{-1}).  The
+    projection algebra is the shared elbo.task_qf_moments (one copy of the
+    math), just parameterized by (m, S) via q_moments.
     """
     assert config.whiten, "natural gradients require the whitened parameterization"
     Luu = elbo_mod.prior_cholesky(params, config)
@@ -561,19 +563,8 @@ def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
     ve_total = 0.0
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        Kfu = _kfu(params, config, X_t)
-        kdiag = _kdiag(params, config, X_t)
-        P = jnp.swapaxes(linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2)), -1, -2)
-        mean_q = jnp.einsum("qnm,qm->qn", P, m)
-        PS = jnp.einsum("qnm,qmk->qnk", P, S)
-        gamma_q = kdiag + jnp.einsum("qnk,qnk->qn", PS, P) - jnp.sum(P * P, -1)
-        start, stop = config.task_function_slices[t]
-        Wt = params.W[:, start:stop]
-        Kt = params.kappa[:, start:stop]
-        m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
-        v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
-               + jnp.einsum("qn,qj->nj", kdiag, Kt))
-        v_F = jnp.maximum(v_F, 1e-12)
+        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X_t, t,
+                                            q_moments=(m, S), var_floor=1e-12)
         ve = lik.var_exp(Y_t, m_F, v_F)
         ve_total = ve_total + scales[t] * jnp.sum(ve * mask_t)
 
@@ -582,19 +573,6 @@ def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
     mah = jnp.sum(jnp.square(m), axis=-1)
     kl = jnp.sum(0.5 * (tr + mah - M - logdet))
     return ve_total - kl
-
-
-def _kfu(params, config, X):
-    from hetmogp_tpu.ops import kernels
-
-    return kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
-                             params.variance)
-
-
-def _kdiag(params, config, X):
-    from hetmogp_tpu.ops import kernels
-
-    return kernels.Kdiag_batched(config.kernel, X, params.variance)
 
 
 def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,

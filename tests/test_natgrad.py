@@ -121,3 +121,38 @@ def test_natgrad_step_improves_nonconjugate():
         p = train_mod.natgrad_update(p, data, scales, cfg, lr=0.5)
     e1 = float(elbo_mod.elbo_fn(p, data, scales, cfg)[0])
     assert e1 > e0
+
+
+def test_natgrad_adam_beats_adam_nonconjugate_e2e():
+    """End-to-end: the natgrad_adam driver reaches a better ELBO than plain
+    Adam in the same (small) number of steps on a non-conjugate model
+    (Bernoulli + HetGaussian)."""
+    from hetmogp_tpu.data import MinibatchStream
+
+    rng = np.random.RandomState(4)
+    n, M, Q = 80, 8, 2
+    cfg = ModelConfig(likelihoods=(L.Bernoulli(), L.HetGaussian()),
+                      num_latent=Q, num_inducing=M, input_dim=1,
+                      whiten=True, dtype="float64")
+    X1 = np.sort(rng.rand(n, 1), 0)
+    X2 = np.sort(rng.rand(n, 1), 0)
+    Y1 = (np.sin(6 * X1) + 0.3 * rng.randn(n, 1) > 0).astype(float)
+    Y2 = np.sin(4 * X2) + 0.2 * rng.randn(n, 1)
+    params = init_params(jax.random.PRNGKey(5), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.2,
+                         q_mu_scale=0.5)
+    data, scales = full_batch([X1, X2], [Y1, Y2], dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+
+    steps = 25
+
+    def run(optimizer, **kw):
+        tc = TrainConfig(optimizer=optimizer, step_rate=0.02, **kw)
+        stream = MinibatchStream([X1, X2], [Y1, Y2], n, shuffle=False,
+                                 dtype=cfg.np_dtype)  # full batch each step
+        p, hist = train_mod.svi_fit(params, cfg, tc, stream, steps, vem=False)
+        return float(elbo_mod.elbo_fn(p, data, scales, cfg)[0])
+
+    e_adam = run("adam")
+    e_ng = run("natgrad_adam", natgrad_lr=0.5)
+    assert e_ng > e_adam
