@@ -167,6 +167,66 @@ def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
     return m_F, v_F
 
 
+def latent_projections_full(params: SVMOGPParams, config: ModelConfig,
+                            Luu: jnp.ndarray, X: jnp.ndarray):
+    """Full-covariance analogue of latent_projections.
+
+    Returns:
+      mean_q: (Q, N) posterior means of the latent projections at X.
+      cov_q:  (Q, N, N) full posterior covariances — the reference implies
+        this path via ``_raw_predict(..., full_cov)`` (svmogp.py:219-253)
+        but only ever returns diagonals; provided here so correlated f*
+        samples can be drawn downstream.
+
+    Whitened: cov = Kxx + P S P^T - P P^T with P = (Luu^{-1} Kuf)^T.
+    Un-whitened: cov = Kxx + A S A^T - A Kuf with A = Kfu Kuu^{-1}.
+    """
+    Q = Luu.shape[0]
+    Kfu = kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
+                            params.variance)  # (Q, N, M)
+    Kxx = kernels.K_gram_batched(
+        config.kernel, jnp.broadcast_to(X[None], (Q,) + X.shape),
+        params.lengthscale, params.variance)  # (Q, N, N)
+    Lq = jnp.tril(params.q_sqrt)
+    R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # (Q, M, N)
+    P = jnp.swapaxes(R, -1, -2)
+    if config.whiten:
+        B = P
+    else:
+        B = jnp.swapaxes(
+            linalg.solve_tri(Luu, R, trans=True), -1, -2)  # A (Q, N, M)
+    mean_q = jnp.einsum("qnm,qm->qn", B, params.q_mu)
+    BL = B @ Lq
+    cov_q = Kxx + BL @ jnp.swapaxes(BL, -1, -2)
+    if config.whiten:
+        cov_q = cov_q - P @ jnp.swapaxes(P, -1, -2)
+    else:
+        cov_q = cov_q - jnp.einsum("qnm,qkm->qnk", B, Kfu)
+    return mean_q, cov_q
+
+
+def task_qf_full_cov(params: SVMOGPParams, config: ModelConfig,
+                     Luu: jnp.ndarray, X: jnp.ndarray, task: int):
+    """Full-covariance q(f_d) for every parameter function d of a task.
+
+    Returns (m_F, cov_F): (N, F_t) means and (F_t, N, N) covariances —
+    cov_fd = sum_q w_qd^2 cov_q + diag(sum_q kappa_qd kdiag_q).  The d-blocks
+    are conditionally independent across d given the factorized q(u), so no
+    cross-d covariance exists (same as the reference's per-d posteriors).
+    """
+    start, stop = config.task_function_slices[task]
+    Wt = params.W[:, start:stop]  # (Q, F_t)
+    Kt = params.kappa[:, start:stop]
+    mean_q, cov_q = latent_projections_full(params, config, Luu, X)
+    kdiag = kernels.Kdiag_batched(config.kernel, X, params.variance)
+    m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
+    cov_F = jnp.einsum("qj,qnk->jnk", jnp.square(Wt), cov_q)
+    kap = jnp.einsum("qn,qj->jn", kdiag, Kt)  # (F_t, N) diagonal addition
+    eye = jnp.eye(X.shape[0], dtype=X.dtype)
+    cov_F = cov_F + kap[:, :, None] * eye[None]
+    return m_F, cov_F
+
+
 def kl_divergence(params: SVMOGPParams, config: ModelConfig,
                   Luu: jnp.ndarray) -> jnp.ndarray:
     """sum_q KL(q(u_q) || p(u_q)) (reference svmogp_inf.py:227-250).

@@ -61,14 +61,43 @@ def _jitted_likelihood_predictive(lik):
     return jax.jit(lambda m, v: lik.predictive(m, v))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_latent_u_full(config: ModelConfig):
+    def f(params, X):
+        Luu = elbo_mod.prior_cholesky(params, config)
+        return elbo_mod.latent_projections_full(params, config, Luu, X)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_task_full_cov(config: ModelConfig):
+    def f(params, X, t):
+        Luu = elbo_mod.prior_cholesky(params, config)
+        return elbo_mod.task_qf_full_cov(params, config, Luu, X, t)
+
+    return jax.jit(f, static_argnums=2)
+
+
 def predict_latent_u(params: SVMOGPParams, config: ModelConfig,
-                     Xnew, latent_ind: Optional[int] = None):
+                     Xnew, latent_ind: Optional[int] = None,
+                     full_cov: bool = False):
     """Posterior moments of the latent GPs u_q at Xnew.
 
-    Reference ``_raw_predict`` (svmogp.py:219-253).  Returns (mean, var)
-    each (N, Q) — or (N,) pair if ``latent_ind`` is given.
+    Reference ``_raw_predict`` (svmogp.py:219-253), including its implied
+    ``full_cov`` option (svmogp.py:219) that the reference never finishes.
+    Returns (mean, var) each (N, Q) — or (N,) pair if ``latent_ind`` is
+    given.  With ``full_cov=True`` the second element is the full (Q, N, N)
+    posterior covariance (or (N, N) for one latent); full covariances are
+    not clamped (their diagonals are non-negative up to roundoff by
+    construction).
     """
     X = jnp.asarray(Xnew, config.np_dtype)
+    if full_cov:
+        mean_q, cov_q = _jitted_latent_u_full(config)(params, X)
+        if latent_ind is not None:
+            return mean_q[latent_ind], cov_q[latent_ind]
+        return mean_q.T, cov_q
     mean, var = _jitted_latent_u(config)(params, X)
     if latent_ind is not None:
         return mean[:, latent_ind], var[:, latent_ind]
@@ -76,19 +105,40 @@ def predict_latent_u(params: SVMOGPParams, config: ModelConfig,
 
 
 def predict_f(params: SVMOGPParams, config: ModelConfig, Xnew,
-              output_function_ind: int = 0):
+              output_function_ind: int = 0, full_cov: bool = False):
     """Posterior moments of one output parameter function f_d at Xnew.
 
     Reference ``predictive_new`` (svmogp.py:280-306) — whose Woodbury
     round-trip reduces to the direct q(f_d) moments (see module docstring).
-    Returns (mean, var), each (N,).
+    Returns (mean, var), each (N,) — or (mean, cov (N, N)) with
+    ``full_cov=True``, enabling correlated f* sampling.
     """
     d = output_function_ind
     t = config.function_index[d]
     j = config.d_index[d]
     X = jnp.asarray(Xnew, config.np_dtype)
+    if full_cov:
+        m_F, cov_F = _jitted_task_full_cov(config)(params, X, t)
+        return m_F[:, j], cov_F[j]
     m_F, v_F = _jitted_task_moments(config)(params, X, t)
     return m_F[:, j], v_F[:, j]
+
+
+def sample_f(params: SVMOGPParams, config: ModelConfig, key, Xnew,
+             output_function_ind: int = 0, num_samples: int = 1,
+             jitter: float = 1e-8):
+    """Correlated posterior samples of f_d at Xnew: (num_samples, N).
+
+    Draws from the full-covariance q(f_d) — the reason full_cov exists; the
+    diagonal-only path would sample each point independently.
+    """
+    mu, cov = predict_f(params, config, Xnew, output_function_ind,
+                        full_cov=True)
+    from hetmogp_tpu.ops import linalg
+
+    L = linalg.jitchol(cov[None], jitter=jitter, adaptive=True)[0]
+    eps = jax.random.normal(key, (num_samples, mu.shape[0]), mu.dtype)
+    return mu[None, :] + eps @ L.T
 
 
 def predict_f_projected(params: SVMOGPParams, config: ModelConfig,

@@ -126,14 +126,29 @@ class SVMOGP:
         return self
 
     # ---- prediction (reference svmogp.py:219-370) ------------------------
-    def predict_u(self, Xnew, latent_function_ind: Optional[int] = None):
+    def predict_u(self, Xnew, latent_function_ind: Optional[int] = None,
+                  full_cov: bool = False):
         return predict_mod.predict_latent_u(self.params, self.config, Xnew,
-                                            latent_function_ind)
+                                            latent_function_ind,
+                                            full_cov=full_cov)
 
-    def predictive_new(self, Xnew, output_function_ind: int = 0):
+    def predictive_new(self, Xnew, output_function_ind: int = 0,
+                       full_cov: bool = False):
         m, v = predict_mod.predict_f(self.params, self.config, Xnew,
-                                     output_function_ind)
+                                     output_function_ind, full_cov=full_cov)
+        if full_cov:
+            return np.asarray(m)[:, None], np.asarray(v)
         return np.asarray(m)[:, None], np.asarray(v)[:, None]
+
+    def sample_f(self, Xnew, output_function_ind: int = 0,
+                 num_samples: int = 1, key=None):
+        """Correlated posterior samples of f_d at Xnew: (num_samples, N)."""
+        import jax
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        return np.asarray(predict_mod.sample_f(
+            self.params, self.config, key, Xnew, output_function_ind,
+            num_samples))
 
     def predict_f_tasks(self, X_list):
         return predict_mod.predict_f_all(self.params, self.config, X_list)

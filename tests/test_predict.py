@@ -170,3 +170,52 @@ def test_model_validation_errors():
     with pytest.raises(ValueError, match="num_inducing"):
         SVMOGP(cfg, X, Y, np.linspace(0, 1, 8).reshape(4, 2),
                key=jax.random.PRNGKey(0))
+
+
+def test_full_cov_diag_matches_marginal_var():
+    """diag(full posterior covariance) == marginal variances, for latent u
+    and every output f_d, in both parameterizations."""
+    import dataclasses
+
+    for whiten in (False, True):
+        cfg, params, _ = _setup()
+        cfg = dataclasses.replace(cfg, whiten=whiten)
+        rng = np.random.RandomState(7)
+        Xnew = rng.rand(12, 1)
+
+        mean, cov = predict_mod.predict_latent_u(params, cfg, Xnew,
+                                                 full_cov=True)
+        mean_d, var_d = predict_mod.predict_latent_u(params, cfg, Xnew)
+        assert cov.shape == (cfg.num_latent, 12, 12)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_d),
+                                   atol=1e-10)
+        for q in range(cfg.num_latent):
+            c = np.asarray(cov[q])
+            np.testing.assert_allclose(c, c.T, atol=1e-10)  # symmetric
+            np.testing.assert_allclose(np.diag(c), np.asarray(var_d[:, q]),
+                                       atol=1e-9)
+            assert np.linalg.eigvalsh(c).min() > -1e-8  # PSD up to roundoff
+
+        for d in range(cfg.num_output_functions):
+            m_f, cov_f = predict_mod.predict_f(params, cfg, Xnew, d,
+                                               full_cov=True)
+            m_d, v_d = predict_mod.predict_f(params, cfg, Xnew, d)
+            assert cov_f.shape == (12, 12)
+            np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_d),
+                                       atol=1e-10)
+            np.testing.assert_allclose(np.diag(np.asarray(cov_f)),
+                                       np.asarray(v_d), atol=1e-9)
+
+
+def test_sample_f_moments_match_full_cov():
+    """Correlated f samples have the full-cov mean/covariance (MC check)."""
+    cfg, params, _ = _setup()
+    Xnew = np.linspace(0, 1, 10)[:, None]
+    mu, cov = predict_mod.predict_f(params, cfg, Xnew, 0, full_cov=True)
+    S = predict_mod.sample_f(params, cfg, jax.random.PRNGKey(0), Xnew, 0,
+                             num_samples=20000)
+    assert S.shape == (20000, 10)
+    emp_mu = np.asarray(S).mean(0)
+    emp_cov = np.cov(np.asarray(S).T)
+    np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=0.05)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.05)
