@@ -51,6 +51,13 @@ class ModelConfig:
     num_latent: int
     num_inducing: int
     input_dim: int
+    # Coregionalization rank R (reference ICM/LCM rank, util.py:92-123).
+    # A rank-R B_q = W_q W_q^T is realized as R latent copies per kernel
+    # (the exact LCM equivalence): Q*R latent GPs where each group of R
+    # shares one (lengthscale, variance); W is (Q*R, D) and
+    # B_q[d,d] = sum_r W[qR+r, d]^2.  Parameter leaves (Z, q_mu, q_sqrt, W,
+    # kappa) are sized by num_latent_eff = Q*R.
+    rank: int = 1
     whiten: bool = True
     jitter: float = 0.0
     adaptive_jitter: bool = True
@@ -69,6 +76,11 @@ class ModelConfig:
     chol_dtype: str = "same"
 
     # ---- derived static metadata ------------------------------------------------
+    @property
+    def num_latent_eff(self) -> int:
+        """Q*R: latent-function count including coregionalization-rank copies."""
+        return self.num_latent * self.rank
+
     @property
     def num_tasks(self) -> int:
         return len(self.likelihoods)

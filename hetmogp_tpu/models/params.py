@@ -36,14 +36,22 @@ class SVMOGPParams:
     log_variance: jnp.ndarray
     W: jnp.ndarray
     kappa: jnp.ndarray
+    # coregionalization rank R (static, not a trained leaf): kernel hypers
+    # are stored per GROUP (Q rows) while the latent axes (Z, q_mu, q_sqrt,
+    # W, kappa) are per COPY (Q*R rows); the properties below repeat each
+    # group's hypers across its R copies, so tied-hyperparameter gradients
+    # sum over copies automatically under jax.grad
+    rank: int = struct.field(pytree_node=False, default=1)
 
     @property
     def lengthscale(self):
-        return jnp.exp(self.log_lengthscale)
+        ls = jnp.exp(self.log_lengthscale)
+        return jnp.repeat(ls, self.rank, axis=0) if self.rank > 1 else ls
 
     @property
     def variance(self):
-        return jnp.exp(self.log_variance)
+        v = jnp.exp(self.log_variance)
+        return jnp.repeat(v, self.rank, axis=0) if self.rank > 1 else v
 
 
 def random_W(key, Q: int, D: int, rank: int = 1, dtype=jnp.float32) -> jnp.ndarray:
@@ -84,6 +92,8 @@ def init_params(
     """
     dtype = config.np_dtype
     Q, M, Dx = config.num_latent, config.num_inducing, config.input_dim
+    R = config.rank
+    Qe = config.num_latent_eff
     D = config.num_output_functions
 
     Z = jnp.asarray(Z, dtype)
@@ -91,24 +101,31 @@ def init_params(
         if Z.shape != (M, Dx):
             raise ValueError(
                 f"Z has shape {Z.shape}; expected (num_inducing, input_dim)"
-                f" = ({M}, {Dx}) (or (Q, M, Dx) for per-latent inducing "
+                f" = ({M}, {Dx}) (or (Qe, M, Dx) for per-latent inducing "
                 f"points)")
-        Z = jnp.broadcast_to(Z[None], (Q, M, Dx))
-    if Z.shape != (Q, M, Dx):
+        Z = jnp.broadcast_to(Z[None], (Qe, M, Dx))
+    elif R > 1 and Z.shape == (Q, M, Dx):
+        Z = jnp.repeat(Z, R, axis=0)  # one Z per kernel group -> per copy
+    if Z.shape != (Qe, M, Dx):
         raise ValueError(
-            f"Z has shape {Z.shape}; expected (Q, M, Dx) = {(Q, M, Dx)}")
+            f"Z has shape {Z.shape}; expected (Qe, M, Dx) = {(Qe, M, Dx)}")
 
     k_mu, k_w = jax.random.split(key)
-    q_mu = q_mu_scale * jax.random.normal(k_mu, (Q, M), dtype)
-    q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype)[None], (Q, M, M))
+    q_mu = q_mu_scale * jax.random.normal(k_mu, (Qe, M), dtype)
+    q_sqrt = jnp.broadcast_to(jnp.eye(M, dtype=dtype)[None], (Qe, M, M))
 
     ls_dim = Dx if config.ard else 1
     ls = jnp.broadcast_to(jnp.asarray(lengthscale, dtype), (Q, ls_dim))
     var = jnp.broadcast_to(jnp.asarray(variance, dtype), (Q,))
 
     if W is None:
-        W = random_W(k_w, Q, D, dtype=dtype)
-    W = jnp.asarray(W, dtype).reshape(Q, D)
+        W = random_W(k_w, Qe, D, rank=R, dtype=dtype)
+    W = jnp.asarray(W, dtype)
+    if W.ndim == 3:
+        # (Q, D, R) reference-style rank-R weights -> per-copy rows ordered
+        # [q0r0, q0r1, ..., q1r0, ...] to match the repeated hypers
+        W = jnp.transpose(W, (0, 2, 1)).reshape(Qe, D)
+    W = W.reshape(Qe, D)
 
     return SVMOGPParams(
         Z=Z,
@@ -117,5 +134,6 @@ def init_params(
         log_lengthscale=jnp.log(ls),
         log_variance=jnp.log(var),
         W=W,
-        kappa=jnp.zeros((Q, D), dtype),
+        kappa=jnp.zeros((Qe, D), dtype),
+        rank=R,
     )

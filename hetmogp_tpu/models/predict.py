@@ -181,7 +181,7 @@ def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
     kfn = kernels.kern_fn(config.kernel)
     Kq_full = jnp.stack([
         kfn(X, X, params.lengthscale[q], params.variance[q])
-        for q in range(config.num_latent)])  # (Q, N, N)
+        for q in range(config.num_latent_eff)])  # (Q, N, N)
     PL = P @ Lq  # (Q, N, M)
     if config.whiten:
         G = PL @ jnp.swapaxes(PL, -1, -2) - P @ jnp.swapaxes(P, -1, -2)
@@ -196,7 +196,7 @@ def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
     Kdd = jnp.einsum("q,qnk->nk", B_dd, Kq_full)
     Kx = jnp.stack([
         kfn(X, Xs, params.lengthscale[q], params.variance[q])
-        for q in range(config.num_latent)])
+        for q in range(config.num_latent_eff)])
     Kx_d = jnp.einsum("q,qns->ns", B_dd, Kx)
     # stationary kernels: Kdiag = variance
     kxx_diag = jnp.einsum("q,q->", B_dd, params.variance) * jnp.ones(

@@ -70,7 +70,7 @@ class SVMOGP:
 
     @property
     def num_latent_funcs(self) -> int:
-        return self.config.num_latent
+        return self.config.num_latent_eff
 
     @property
     def num_output_funcs(self) -> int:

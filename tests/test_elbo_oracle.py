@@ -204,3 +204,63 @@ def test_chol_dtype_island_matches_same_dtype():
     cfg64 = dataclasses.replace(cfg, chol_dtype="float64")
     e_island, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg64)
     np.testing.assert_allclose(float(e_island), float(e_plain), rtol=1e-12)
+
+
+def test_rank2_coregionalization_matches_oracle():
+    """rank=2: the model's Q*R latent-copy realization of rank-R B_q must
+    equal the oracle ELBO with Q*R latents, repeated hypers, flattened W
+    (B_q[d,d] = sum_r W^2 falls out of the einsum).  Also checks the tied
+    hyperparameter gradient against finite differences of the oracle."""
+    rng = np.random.RandomState(11)
+    M, Q, R = 5, 2, 2
+    Qe = Q * R
+    liks = (L.Gaussian(sigma=1.0), L.Bernoulli())
+    task_specs = [(oracle.logpdf_gaussian, 1, 20),
+                  (oracle.logpdf_bernoulli, 1, 20)]
+    D = 2
+    Ns = [8, 7]
+    X_list = [rng.rand(n, 1) for n in Ns]
+    Y_list = [rng.randn(Ns[0], 1), (rng.rand(Ns[1], 1) > 0.4).astype(float)]
+
+    Z = np.linspace(0, 1, M)[None, :, None] + 0.02 * rng.randn(Qe, M, 1)
+    W = rng.randn(Qe, D)
+    kappa = np.zeros((Qe, D))
+    ls = 0.15 + 0.1 * rng.rand(Q, 1)    # per kernel GROUP
+    var = 0.5 + rng.rand(Q)
+    m_u = rng.randn(Qe, M)
+    L_u = np.tril(0.3 * rng.randn(Qe, M, M)) + np.eye(M)[None]
+    scales = 1.0 + rng.rand(2)
+
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, rank=R, whiten=False, dtype="float64")
+    params = SVMOGPParams(
+        Z=jnp.asarray(Z), q_mu=jnp.asarray(m_u), q_sqrt=jnp.asarray(L_u),
+        log_lengthscale=jnp.log(jnp.asarray(ls)),
+        log_variance=jnp.log(jnp.asarray(var)),
+        W=jnp.asarray(W), kappa=jnp.asarray(kappa), rank=R)
+    data = tuple(elbo_mod.task_data(x, y, dtype=jnp.float64)
+                 for x, y in zip(X_list, Y_list))
+
+    def oracle_elbo(ls_groups):
+        ls_rep = np.repeat(np.asarray(ls_groups).reshape(Q, 1), R, axis=0)
+        var_rep = np.repeat(var, R, axis=0)
+        return oracle.elbo(X_list, Y_list, Z, W, kappa, ls_rep, var_rep,
+                           m_u, L_u, task_specs, scales)
+
+    e_jax, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg)
+    np.testing.assert_allclose(float(e_jax), oracle_elbo(ls), rtol=1e-9)
+
+    # tied lengthscale gradient (one value per kernel group, summed over its
+    # R copies) vs central finite differences of the oracle
+    def f(log_ls):
+        p = params.replace(log_lengthscale=log_ls)
+        return elbo_mod.elbo_fn(p, data, jnp.asarray(scales), cfg)[0]
+
+    g = np.asarray(jax.grad(f)(params.log_lengthscale))
+    eps = 1e-6
+    for q in range(Q):
+        lsp, lsm = ls.copy(), ls.copy()
+        lsp[q, 0] *= np.exp(eps)
+        lsm[q, 0] *= np.exp(-eps)
+        fd = (oracle_elbo(lsp) - oracle_elbo(lsm)) / (2 * eps)
+        np.testing.assert_allclose(g[q, 0], fd, rtol=1e-5)
