@@ -113,12 +113,13 @@ class Likelihood:
         return _predictive_engine(self)(M, V)
 
     def log_predictive(self, key, Ytest, M_star, V_star, num_samples: int,
-                       reference_scaling: bool = True):
+                       reference_scaling: bool = True, eps=None):
         """Monte-Carlo log-predictive density.  ``reference_scaling=True``
         reproduces the reference's extra 1/num_samples factor (see
         ops/quadrature.mc_log_predictive); False gives the plain summed
-        log-predictive.
+        log-predictive.  ``eps`` injects the (N, S, J) standard-normal draws
+        (deterministic oracle comparisons).
         """
         return quadrature.mc_log_predictive(
             self.logpdf, key, Ytest, M_star, V_star, num_samples,
-            reference_scaling=reference_scaling)
+            reference_scaling=reference_scaling, eps=eps)

@@ -174,7 +174,7 @@ def make_predictive(cond_moments, dim_p: int, J: int, T: int,
 
 
 def mc_log_predictive(logpdf, key, y, m_star, v_star, num_samples: int,
-                      reference_scaling: bool = True):
+                      reference_scaling: bool = True, eps=None):
     """Monte-Carlo NLPD inner term, mirroring the reference exactly.
 
     Samples F* ~ N(m*, v*) per latent dim, computes
@@ -184,7 +184,10 @@ def mc_log_predictive(logpdf, key, y, m_star, v_star, num_samples: int,
     plain sum).
     """
     n, J = m_star.shape
-    eps = jax.random.normal(key, (n, num_samples, J), dtype=m_star.dtype)
+    if eps is None:
+        eps = jax.random.normal(key, (n, num_samples, J), dtype=m_star.dtype)
+    else:
+        eps = jnp.asarray(eps, m_star.dtype)  # injected draws (oracle tests)
     F = m_star[:, None, :] + jnp.sqrt(v_star)[:, None, :] * eps
     lp = _logpdf_batch(logpdf, F, y)  # (N,S)
     log_pred = jax.scipy.special.logsumexp(lp, axis=-1) - jnp.log(

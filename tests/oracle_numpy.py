@@ -300,3 +300,91 @@ def elbo(X_list, Y_list, Z, W, kappa, lengthscales, variances, m_u, L_u,
         d_global += dim_f
     kl = kl_divergence(Z, lengthscales, variances, m_u, L_u)
     return ve_total - kl
+
+
+# ---------------------------------------------------------------------------
+# prediction paths (reference svmogp.py:255-306, het_likelihood.py:133-164)
+# ---------------------------------------------------------------------------
+
+def qf_full_cov(X, Z, W, kappa, lengthscales, variances, m_u, L_u, d):
+    """Mean and FULL covariance of q(f_d) at X — the S_fd the reference
+    materializes in calculate_q_f (svmogp_inf.py:186-225)."""
+    Q, M = Z.shape[0], Z.shape[1]
+    N = X.shape[0]
+    Kuu, Luu, Kuui = latent_funs_cov(Z, lengthscales, variances)
+    m_fd = np.zeros(N)
+    S_fd = np.zeros((N, N))
+    for q in range(Q):
+        w = W[q, d]
+        Kfdu_q = w * rbf(X, Z[q], lengthscales[q], variances[q])  # (N, M)
+        Kffd_q = (w ** 2 + kappa[q, d]) * rbf(X, X, lengthscales[q],
+                                              variances[q])
+        A = sla.cho_solve((Luu[q], True), Kfdu_q.T).T  # (N, M) = Kfdu Kuu^-1
+        m_fd += A @ m_u[q]
+        S_q = L_u[q] @ L_u[q].T
+        S_fd += Kffd_q - A @ Kfdu_q.T + A @ S_q @ A.T
+    return m_fd, S_fd
+
+
+def raw_predict_f(Xtrain, Xnew, Z, W, kappa, lengthscales, variances,
+                  m_u, L_u, d):
+    """Reference ``_raw_predict_f`` (svmogp.py:255-278): GPy Posterior
+    Woodbury projection of q(f_d) at the training inputs through the
+    function-space prior Kfdfd.
+
+    woodbury_vector = K^-1 m,  woodbury_inv = K^-1 - K^-1 S K^-1,
+    mu* = Kx^T wv,  var* = |Kxx_diag - diag(Kx^T wi Kx)|.
+    """
+    Q = Z.shape[0]
+    m_fd, S_fd = qf_full_cov(Xtrain, Z, W, kappa, lengthscales, variances,
+                             m_u, L_u, d)
+    B_dd = np.array([W[q, d] ** 2 + kappa[q, d] for q in range(Q)])
+    Kdd = np.zeros((Xtrain.shape[0], Xtrain.shape[0]))
+    Kx = np.zeros((Xtrain.shape[0], Xnew.shape[0]))
+    kxx_diag = np.zeros(Xnew.shape[0])
+    for q in range(Q):
+        Kdd += B_dd[q] * rbf(Xtrain, Xtrain, lengthscales[q], variances[q])
+        Kx += B_dd[q] * rbf(Xtrain, Xnew, lengthscales[q], variances[q])
+        kxx_diag += B_dd[q] * variances[q]
+    Kdd_i = np.linalg.inv(Kdd)
+    wv = Kdd_i @ m_fd
+    wi = Kdd_i - Kdd_i @ S_fd @ Kdd_i
+    mu = Kx.T @ wv
+    var = np.abs(kxx_diag - np.einsum("nx,nk,kx->x", Kx, wi, Kx))
+    return mu, var
+
+
+def gh_predictive(cond_moments, M_, V_, T):
+    """Observation-space GH predictive moments, law of total variance
+    (reference het_likelihood.py:133-148 -> per-likelihood predictive).
+
+    cond_moments: (F (N, J)) -> (mean (N, P), var (N, P)).
+    """
+    N, J = M_.shape
+    f, w = np.polynomial.hermite.hermgauss(T)
+    grids = np.meshgrid(*([f] * J), indexing="ij")
+    nodes = np.stack([g.reshape(-1) for g in grids], axis=-1)
+    wg = np.meshgrid(*([w] * J), indexing="ij")
+    weights = np.prod(np.stack([g.reshape(-1) for g in wg], -1), -1) / np.pi ** (J / 2)
+    Em = Em2 = Ev = 0.0
+    for s in range(nodes.shape[0]):
+        F = M_ + np.sqrt(2 * V_) * nodes[s]
+        cm, cv = cond_moments(F)
+        Em = Em + weights[s] * cm
+        Em2 = Em2 + weights[s] * cm ** 2
+        Ev = Ev + weights[s] * cv
+    return Em, Ev + Em2 - Em ** 2
+
+
+def mc_log_predictive(logpdf, eps, Y, M_star, V_star, reference_scaling=True):
+    """Reference NLPD inner term (het_likelihood.py:150-164) with injected
+    standard-normal draws eps (N, S, J) so the comparison is deterministic;
+    includes the reference's extra 1/num_samples factor."""
+    n, S, J = eps.shape
+    F = M_star[:, None, :] + np.sqrt(V_star)[:, None, :] * eps
+    lp = np.stack([logpdf(F[:, s, :], Y) for s in range(S)], axis=1)  # (N,S)
+    log_pred = ssp.logsumexp(lp, axis=1) - np.log(S)
+    total = log_pred.sum()
+    if reference_scaling:
+        total = total / S
+    return total
