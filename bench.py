@@ -63,7 +63,11 @@ def main():
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
                       adaptive_jitter=False)
-    tc = TrainConfig(optimizer="adam", step_rate=0.005)
+    # fast_projection (default): cached triangular inverse + HIGHEST-prec
+    # matmuls for VE projections and VM cached adjoints; minibatch="slice"
+    # draws contiguous random blocks (the reference's own sequential-slice
+    # semantics, util.py:52-72 — and ~5% faster than row gathers on TPU)
+    tc = TrainConfig(optimizer="adam", step_rate=0.005, minibatch="slice")
     Z = rng.rand(M, Dx).astype(np.float32)
     params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
                          variance=0.5, q_mu_scale=0.1)
@@ -109,5 +113,86 @@ def main():
           f"final_elbo={final_elbo:.1f} quick={quick}", file=sys.stderr)
 
 
+def main_mesh(n_devices: int = 8):
+    """Multi-device scaling check on a virtual CPU mesh (``bench.py --mesh``).
+
+    Runs the sharded scan trainer (small shapes) on 1 device and on an
+    n-device ('data',) mesh and reports the per-step times + parallel
+    overhead.  This is a correctness/plumbing signal — virtual CPU devices
+    share one host's cores, so speedup is NOT expected; the signal is that
+    the sharded program compiles, executes, stays finite, and its overhead
+    vs 1 device is bounded.  Real-chip scaling uses the same code path.
+    """
+    # must run before jax initializes a backend — never inherit the TPU pin
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import (Bernoulli, Categorical, Gamma, HetGaussian,
+                             ModelConfig, TrainConfig)
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.data import full_batch
+    from hetmogp_tpu.models.params import init_params
+    from hetmogp_tpu.parallel import sharding
+
+    liks = (HetGaussian(), Bernoulli(), Categorical(K=3), Gamma())
+    T = len(liks)
+    N_per, M, Q, B, steps = 8192, 64, 2, 256, 50
+    rng = np.random.RandomState(0)
+    X_list = [rng.rand(N_per, 1).astype(np.float32) for _ in range(T)]
+    Y_list = [rng.randn(N_per, 1),
+              (rng.rand(N_per, 1) > 0.5).astype(float),
+              rng.randint(1, 4, (N_per, 1)).astype(float),
+              rng.gamma(2.0, 1.0, (N_per, 1)) + 1e-3]
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float32")
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    Z = np.linspace(0, 1, M)[:, None].astype(np.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
+                         variance=0.5, q_mu_scale=0.1)
+    dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
+    optimizer = train_mod.make_optimizer(tc)
+
+    per_dev = {}
+    finite = True
+    for nd in (1, n_devices):
+        mesh = sharding.data_mesh(jax.devices("cpu")[:nd])
+        runner = train_mod.make_scan_trainer(
+            cfg, tc, task_sizes, tuple([B] * T), vem=True,
+            steps_per_call=steps, mesh=mesh)
+        ds = sharding.shard_batch(mesh, dataset)
+        state = train_mod.init_train_state(
+            jax.tree_util.tree_map(jnp.array, params), cfg, optimizer,
+            cache_luu=True, fast_projection=tc.fast_projection)
+        state, elbos = runner(state, ds, jax.random.PRNGKey(1))  # compile
+        jax.block_until_ready(elbos)
+        t0 = time.perf_counter()
+        state, elbos = runner(state, ds, jax.random.PRNGKey(2))
+        jax.block_until_ready(elbos)
+        per_dev[nd] = (time.perf_counter() - t0) / steps * 1e3
+        finite = finite and bool(np.isfinite(np.asarray(elbos)).all())
+
+    overhead = per_dev[n_devices] / per_dev[1]
+    result = {
+        "metric": f"mesh_scaling_overhead_{n_devices}dev_virtual_cpu",
+        "value": round(overhead, 3),
+        "unit": f"x (ms/step {n_devices}dev / 1dev; virtual-CPU plumbing "
+                "check, not a speedup measurement)",
+        "per_device_ms": {str(k): round(v, 3) for k, v in per_dev.items()},
+        "finite": finite,
+    }
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv:
+        main_mesh()
+    else:
+        main()

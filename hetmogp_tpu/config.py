@@ -182,11 +182,18 @@ class TrainConfig:
     shuffle: bool = True  # reference cycles batches sequentially due to a
     # no-op shuffle (util.py:70); False reproduces that.
     seed: int = 0
-    # Replace per-task triangular solves with matmuls against a cached
-    # explicit triangular inverse (MXU-friendly; TPU triangular solves are
-    # sequential).  Slightly different roundoff than the solve path.
-    # EXPERIMENTAL: at cond(Kuu) ~ 1e6+ in float32 the explicit inverse
-    # yields ~1% ELBO error and grossly wrong variational gradients
-    # (measured: 75% error at M=1024), diverging training.  Use only for
-    # well-conditioned Kuu; the benchmark uses the solve path.
-    fast_projection: bool = False
+    # Replace per-task triangular solves with HIGHEST-precision matmuls
+    # against a cached explicit triangular inverse in VE steps (TPU
+    # triangular solves run ~19 TFLOP/s vs ~33 for 6-pass f32 matmuls at
+    # bench shapes).  Round-1's "75% gradient error" was root-caused to
+    # applying the inverse with DEFAULT-precision matmuls (bfloat16 operand
+    # rounding), not to the inverse itself (f32 inverse relerr ~4e-7 at
+    # cond(Kuu)~1e6); with precision=HIGHEST the trajectory tracks the
+    # solve path to ~3e-5 median rel over 3000 bench steps (finite
+    # throughout).  VM steps always differentiate through the solve path.
+    fast_projection: bool = True
+    # In-scan minibatch sampling: "gather" draws B iid uniform row indices
+    # per task per step; "slice" takes a contiguous block at a random
+    # offset (cheaper on TPU, and closest to the reference's
+    # sequential-cycling slices, util.py:52-72).
+    minibatch: str = "gather"

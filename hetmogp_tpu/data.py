@@ -181,6 +181,19 @@ def true_u_functions(X_list: Sequence, Q: int, seed: int = 0):
     return out
 
 
+def generate_toy_U(X, Q: int, seed=None) -> np.ndarray:
+    """Random sin+cos latent draws, one column per latent (reference
+    ``generate_toy_U``, util.py:202-206): U[:, q] = 2 r_q sin(10 r_q x + e1)
+    + 2 r_q cos(20 r_q x + e2) with r ~ U(0,1) shared across rows and
+    e1, e2 ~ N(0,1) shared across everything."""
+    rng = np.random.RandomState(seed)
+    X = np.asarray(X)
+    arg = np.tile(X, (1, Q))
+    rnd = np.tile(rng.rand(1, Q), (X.shape[0], X.shape[1]))
+    return (2 * rnd * np.sin(10 * rnd * arg + rng.randn(1))
+            + 2 * rnd * np.cos(20 * rnd * arg + rng.randn(1)))
+
+
 def true_f_functions(true_u: Sequence, W: np.ndarray, function_index,
                      d_index) -> List[np.ndarray]:
     """Mix latent samples into per-task parameter functions F = u W

@@ -59,14 +59,23 @@ def task_data(X, Y, mask=None, dtype=None) -> TaskData:
 # prior / posterior algebra
 # ---------------------------------------------------------------------------
 
-def prior_cholesky(params: SVMOGPParams, config: ModelConfig) -> jnp.ndarray:
+def prior_cholesky(params: SVMOGPParams, config: ModelConfig,
+                   cached=None) -> jnp.ndarray:
     """Luu: (Q, M, M) lower Cholesky factors of Kuu_q.
 
     Replaces ``latent_funs_cov`` (reference util.py:181-200) without the
     explicit inverse; jitter policy mirrors GPy's jitchol.
+
+    cached: optional (Luu, iLuu) pair valid for the CURRENT hypers — the
+    VM-step fast path: forward reuses the cached factor, backward runs the
+    exact Cholesky pullback as matmuls against the cached inverse
+    (linalg.chol_cached) instead of re-factorizing + triangular solves.
     """
     Kuu = kernels.K_gram_batched(config.kernel, params.Z, params.lengthscale,
                                  params.variance)
+    if cached is not None:
+        eye = jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype)
+        return linalg.chol_cached(Kuu + config.jitter * eye, *cached)
     if config.chol_dtype == "float64" and Kuu.dtype != jnp.float64:
         # accuracy island: f64 forward / working-dtype backward Cholesky
         # (requires jax_enable_x64; fixed jitter only — see ModelConfig)
@@ -78,7 +87,7 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig) -> jnp.ndarray:
 
 def latent_projections(params: SVMOGPParams, config: ModelConfig,
                        Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None,
-                       q_moments=None):
+                       q_moments=None, cache_grad: bool = False):
     """Shared per-latent projection terms at inputs X.
 
     Returns:
@@ -114,12 +123,25 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
             return linalg.quad_diag(B, Lq)
         return jnp.einsum("qnm,qmk,qnk->qn", B, S, B)
 
-    if iLuu is not None:
-        # fast path: explicit triangular inverse cached by the trainer —
-        # the (Q, M, N)-sized triangular solves (sequential on TPU) become
-        # pure MXU matmuls.  Opt-in (TrainConfig.fast_projection): roundoff
-        # differs slightly from the solve path.
-        P = jnp.einsum("qnm,qkm->qnk", Kfu, iLuu)  # Kfu @ iLuu^T
+    if iLuu is not None and cache_grad:
+        # VM-step fast path: same matmul as below, but through the
+        # custom-VJP solve so gradients flow to Luu (and on to the hypers
+        # via chol_cached's pullback) and to Kfu — all as HIGHEST-precision
+        # matmuls against the cached inverse.
+        R = linalg.solve_tri_cached(Luu, jnp.swapaxes(Kfu, -1, -2), iLuu)
+        P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
+    elif iLuu is not None:
+        # VE-step fast path: explicit triangular inverse cached by the
+        # trainer — the (Q, M, N)-sized triangular solves (~19 TFLOP/s on
+        # v5e) become MXU matmuls.  precision=HIGHEST is load-bearing: at
+        # default precision the TPU rounds the operands to bfloat16 per
+        # pass, and iLuu's large-magnitude cancelling entries lose ~all
+        # significance (measured P relative error 1.5e0 at M=1024,
+        # cond(Kuu)~1e6 — the round-1 "75% gradient error"); at HIGHEST the
+        # matmul matches the triangular solve's accuracy (2.3e-4 vs 1.6e-4
+        # on the same inputs).
+        P = jnp.einsum("qnm,qkm->qnk", Kfu, iLuu,
+                       precision=jax.lax.Precision.HIGHEST)  # Kfu @ iLuu^T
     else:
         R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # Luu^{-1} Kuf
         P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
@@ -130,7 +152,8 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
                    - jnp.sum(jnp.square(P), axis=-1))
     else:
         if iLuu is not None:
-            A = jnp.einsum("qnm,qmk->qnk", P, iLuu)  # P @ iLuu = Kfu Kuu^-1
+            A = jnp.einsum("qnm,qmk->qnk", P, iLuu,  # P @ iLuu = Kfu Kuu^-1
+                           precision=jax.lax.Precision.HIGHEST)
         else:
             A = jnp.swapaxes(
                 linalg.solve_tri(Luu, jnp.swapaxes(P, -1, -2), trans=True),
@@ -144,7 +167,8 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
 
 def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
                     X: jnp.ndarray, task: int, clip_variance: bool = True,
-                    iLuu=None, q_moments=None, var_floor: float = 0.0):
+                    iLuu=None, q_moments=None, var_floor: float = 0.0,
+                    cache_grad: bool = False):
     """Marginal moments of q(f_d) for every parameter function d of a task.
 
     Returns (m_F, v_F), each (N_t, F_t).  Mixing: m_fd = sum_q w_qd mean_q,
@@ -158,7 +182,8 @@ def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
     Wt = params.W[:, start:stop]  # (Q, F_t)
     Kt = params.kappa[:, start:stop]
     mean_q, gamma_q, kdiag = latent_projections(params, config, Luu, X,
-                                                iLuu=iLuu, q_moments=q_moments)
+                                                iLuu=iLuu, q_moments=q_moments,
+                                                cache_grad=cache_grad)
     m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
     v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
            + jnp.einsum("qn,qj->nj", kdiag, Kt))
@@ -258,7 +283,8 @@ def kl_divergence(params: SVMOGPParams, config: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
-            scales: jnp.ndarray, config: ModelConfig, Luu=None, iLuu=None):
+            scales: jnp.ndarray, config: ModelConfig, Luu=None, iLuu=None,
+            cache_grad: bool = False):
     """ELBO and per-task diagnostics.
 
     Args:
@@ -269,10 +295,21 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
         only while kernel hypers and Z are unchanged — the VE-step cache
         (train.py) exploits that 4 of 5 VEM steps freeze them, skipping
         ~half the step cost at M=1024.
+      cache_grad: VM-step fast path — (Luu, iLuu) are value-correct caches
+        for the CURRENT hypers, and hyper gradients should flow through
+        them via the cached-inverse adjoints (linalg.chol_cached /
+        solve_tri_cached: exact pullback algebra, MXU matmuls).  Requires
+        the whitened parameterization.
     Returns:
       (elbo, aux) with aux = {'ve': (T,), 'kl': scalar}.
     """
-    if Luu is None:
+    if cache_grad:
+        if Luu is None or iLuu is None:
+            raise ValueError("cache_grad=True needs both Luu and iLuu")
+        if not config.whiten:
+            raise ValueError("cache_grad fast path requires config.whiten")
+        Luu = prior_cholesky(params, config, cached=(Luu, iLuu))
+    elif Luu is None:
         Luu = prior_cholesky(params, config)
     # NOTE: fusing the per-task projections into one concatenated-rows solve
     # was measured SLOWER on TPU v5e (154 vs 178 steps/s at bench shapes) —
@@ -280,7 +317,8 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        m_F, v_F = task_qf_moments(params, config, Luu, X_t, t, iLuu=iLuu)
+        m_F, v_F = task_qf_moments(params, config, Luu, X_t, t, iLuu=iLuu,
+                                   cache_grad=cache_grad)
         ve = lik.var_exp(Y_t, m_F, v_F)  # (N_t,)
         ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
     ve_total = functools.reduce(jnp.add, ve_sums)

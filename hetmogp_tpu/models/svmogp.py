@@ -178,9 +178,15 @@ class SVMOGP:
 
     # ---- plotting (reference svmogp.py:372-469) --------------------------
     def plot_u(self, dim: int = 0, num_points: int = 200, ax=None,
-               true_U=None, true_UX=None):
+               true_U=None, true_UX=None, median: bool = False):
         """Latent-function posterior bands (reference plot_u,
-        svmogp.py:372-406)."""
+        svmogp.py:372-406).
+
+        median: with multi-dimensional inputs, fix the non-plotted input
+        dimensions at their training median (the reference's
+        ``fixed_inputs(..., fix_routine='median')`` option, svmogp.py:379)
+        instead of sweeping every dimension together.
+        """
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -189,7 +195,14 @@ class SVMOGP:
         hi = max(x[:, dim].max() for x in self.Xmulti_all)
         Xp = np.linspace(lo, hi, num_points)[:, None]
         if self.config.input_dim > 1:
-            Xp = np.tile(Xp, (1, self.config.input_dim))
+            if median:
+                X_all = np.concatenate([np.asarray(x)
+                                        for x in self.Xmulti_all], axis=0)
+                Xp = np.tile(np.median(X_all, axis=0)[None, :],
+                             (num_points, 1))
+                Xp[:, dim] = np.linspace(lo, hi, num_points)
+            else:
+                Xp = np.tile(Xp, (1, self.config.input_dim))
         mean, var = self.predict_u(Xp)
         std = np.sqrt(np.asarray(var))
         for q in range(self.num_latent_funcs):
@@ -201,12 +214,18 @@ class SVMOGP:
             ax.plot(true_UX, true_U, "k+", alpha=0.5)
         return ax
 
-    def plot_f(self, dim: int = 0, num_points: int = 200, ax=None):
+    def plot_f(self, dim: int = 0, num_points: int = 200, ax=None,
+               true_F=None, true_FX=None):
+        """Output-parameter-function posterior bands (reference plot_f,
+        svmogp.py:408-434).  true_F/true_FX overlay ground-truth latent
+        mixtures per task (reference svmogp.py:431-432: true_F is a list of
+        per-task (N_t, F_t) arrays, true_FX the matching inputs)."""
         import matplotlib.pyplot as plt
 
         if ax is None:
             _, ax = plt.subplots(figsize=(10, 6))
         f_index = self.config.function_index
+        d_index = self.config.d_index
         for d in range(self.num_output_funcs):
             Xt = self.Xmulti_all[f_index[d]]
             Xp = np.linspace(Xt[:, dim].min(), Xt[:, dim].max(), num_points)[:, None]
@@ -214,6 +233,10 @@ class SVMOGP:
             m, s = np.asarray(m), np.sqrt(np.asarray(v))
             ax.plot(Xp[:, 0], m, "r-", alpha=0.5)
             ax.fill_between(Xp[:, 0], m - 2 * s, m + 2 * s, alpha=0.15)
+            if true_F is not None:
+                ax.plot(np.asarray(true_FX[f_index[d]])[:, dim],
+                        np.asarray(true_F[f_index[d]])[:, d_index[d]],
+                        "k-", alpha=0.5)
         return ax
 
     def plot_pred(self, Xpred, task: int = 0, ax=None):

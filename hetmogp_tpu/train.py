@@ -102,34 +102,37 @@ class TrainState(NamedTuple):
     iLuu: Any = None
 
 
-def _tri_inverse(Luu: jnp.ndarray, precise: bool = True) -> jnp.ndarray:
-    """Explicit triangular inverse.
+@functools.partial(jax.jit, static_argnums=(1,))
+def _tri_inverse(Luu: jnp.ndarray, precise: bool = False) -> jnp.ndarray:
+    """Explicit triangular inverse for the fast projection path.
 
-    The f32-computed inverse of an ill-conditioned factor carries ~1e-4
-    relative error that poisons fast-projection gradients (measured 75%
-    gradient error at M=1024).  With ``precise`` (and x64 enabled), the
-    fast f32 solve is followed by two Newton refinement steps
-    X <- X (2I - L X) carried out in f64 *matmuls* (quadratic error
-    contraction; a direct f64 triangular solve is emulated serially on TPU
-    and costs ~100x more than the f64 matmuls)."""
+    The f32 solve-based inverse is accurate to ~4e-7 relative even at the
+    bench conditioning (M=1024, cond(Kuu)~1e6, cond(Luu)~1e3) — the round-1
+    "75% gradient error" attributed to this inverse was in fact caused by
+    applying it with default-precision TPU matmuls (operands rounded to
+    bfloat16 per pass), fixed by precision=HIGHEST at the apply site
+    (models/elbo.py latent_projections).  ``precise`` adds one Newton step
+    X <- X + X(I - L X) in HIGHEST-precision f32 matmuls as extra margin;
+    measured unnecessary at bench conditioning (4.4e-7 -> 4.1e-7 relerr)
+    while costing ~0.55 ms per cache refresh, so off by default.
+
+    jitted: eager broadcast_in_dim over a remote TPU tunnel can hit a
+    backend InvalidArgument; under jit it is fused anyway."""
     dt = Luu.dtype
     m = Luu.shape[-1]
     eye = jnp.eye(m, dtype=dt)
     iL = linalg.solve_tri(Luu, jnp.broadcast_to(eye, Luu.shape))
-    if precise and jax.config.jax_enable_x64 and dt != jnp.float64:
-        L64 = Luu.astype(jnp.float64)
-        X = iL.astype(jnp.float64)
-        eye64 = jnp.eye(m, dtype=jnp.float64)
-        for _ in range(2):
-            X = X @ (2.0 * eye64 - L64 @ X)
-        iL = jnp.tril(X).astype(dt)
+    if precise:
+        hi = jax.lax.Precision.HIGHEST
+        R = eye - jnp.matmul(Luu, iL, precision=hi)
+        iL = jnp.tril(iL + jnp.matmul(iL, R, precision=hi))
     return iL
 
 
 def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
-                     fast_projection: bool = False) -> TrainState:
+                     fast_projection: bool = True) -> TrainState:
     Luu = elbo_mod.prior_cholesky(params, config) if cache_luu else None
     iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
@@ -226,9 +229,10 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
     optimizer = make_optimizer(train_config)
     use_natgrad = train_config.optimizer == "natgrad_adam"
 
-    def loss_fn(params, data, scales, Luu=None, iLuu=None):
+    def loss_fn(params, data, scales, Luu=None, iLuu=None,
+                cache_grad=False):
         e, aux = elbo_mod.elbo_fn(params, data, scales, config, Luu=Luu,
-                                  iLuu=iLuu)
+                                  iLuu=iLuu, cache_grad=cache_grad)
         return -e, aux
 
     cycle = train_config.ve_steps_per_vm + 1
@@ -257,23 +261,49 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         if use_cache:
             # VE steps freeze hypers/Z, so the cached Luu (and iLuu) are
             # exact there and the expensive Cholesky (+ inverse) and their
-            # gradients are skipped; hyper gradients from the
-            # cache-truncated graph are zeroed by the VE mask anyway.  VM
-            # steps differentiate through fresh factorizations.
+            # gradients are skipped.  Crucially the VE branch differentiates
+            # ONLY w.r.t. (q_mu, q_sqrt): the VE mask would zero every other
+            # gradient anyway, and skipping them drops the whole backward
+            # pass through the projection (the K̄fu matmul, the transpose
+            # solve, and the kernel-build backward) — measured ~35% of the
+            # VE step at bench shapes.  The VM branch symmetrically
+            # differentiates only the non-variational leaves.
             sg = jax.lax.stop_gradient
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
 
             def ve_branch(p):
-                return jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, data, scales, sg(state.Luu),
-                    sg(state.iLuu) if fastp else None)
+                def loss_q(q_mu, q_sqrt):
+                    pp = p.replace(q_mu=q_mu, q_sqrt=q_sqrt)
+                    return loss_fn(pp, data, scales, sg(state.Luu),
+                                   sg(state.iLuu) if fastp else None)
+
+                (v, aux), g = jax.value_and_grad(
+                    loss_q, argnums=(0, 1), has_aux=True)(p.q_mu, p.q_sqrt)
+                return (v, aux), zeros.replace(q_mu=g[0], q_sqrt=g[1])
+
+            # VM gradients are evaluated at the CURRENT hypers, where the
+            # cache is still valid (it only goes stale after the update),
+            # so the fast path can reuse it: Cholesky forward skipped,
+            # Cholesky pullback and solves as cached-inverse matmuls with
+            # exact adjoint algebra (linalg.chol_cached/solve_tri_cached).
+            # Gated off under adadelta lookahead, where the gradient point
+            # has momentum-shifted hypers the cache does not match.
+            vm_cached = fastp and config.whiten and not lookahead
 
             def vm_branch(p):
-                # VM steps always differentiate through the triangular-solve
-                # path: gradients through an explicit f32 inverse are
-                # unstable once hypers drift toward ill-conditioned Kuu
-                # (observed NaN after ~hundreds of steps at M=1024).
-                return jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, data, scales)
+                def loss_h(hp):
+                    pp = p.replace(**hp)
+                    if vm_cached:
+                        return loss_fn(pp, data, scales, Luu=state.Luu,
+                                       iLuu=state.iLuu, cache_grad=True)
+                    return loss_fn(pp, data, scales)
+
+                hyper = dict(log_lengthscale=p.log_lengthscale,
+                             log_variance=p.log_variance, Z=p.Z, W=p.W,
+                             kappa=p.kappa)
+                (v, aux), g = jax.value_and_grad(
+                    loss_h, has_aux=True)(hyper)
+                return (v, aux), zeros.replace(**g)
 
             (neg_elbo, aux), grads = jax.lax.cond(is_ve, ve_branch,
                                                   vm_branch, grad_point)
@@ -314,7 +344,10 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
 
             def refresh(p):
                 L = elbo_mod.prior_cholesky(p, config)
-                return L, (_tri_inverse(L) if fastp else None)
+                # keep the inverse alive iff the state carries one (it may
+                # be present but unused when fast_projection is off)
+                return L, (_tri_inverse(L) if state.iLuu is not None
+                           else None)
 
             Luu_next, iLuu_next = jax.lax.cond(is_ve, keep, refresh, params)
         else:
@@ -388,11 +421,21 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
         batch = []
         keys = jax.random.split(key, len(dataset))
         for t, td in enumerate(dataset):
-            idx = jax.random.randint(keys[t], (batch_sizes[t],), 0,
-                                     task_sizes[t])
-            X = jnp.take(td.X, idx, axis=0)
-            Y = jnp.take(td.Y, idx, axis=0)
-            m = jnp.take(td.mask, idx, axis=0)
+            if train_config.minibatch == "slice":
+                # contiguous block at a random offset — cheaper than a row
+                # gather on TPU and closest to the reference's
+                # sequential-cycling slices (util.py:52-72)
+                off = jax.random.randint(keys[t], (), 0,
+                                         max(task_sizes[t] - batch_sizes[t], 1))
+                X = jax.lax.dynamic_slice_in_dim(td.X, off, batch_sizes[t], 0)
+                Y = jax.lax.dynamic_slice_in_dim(td.Y, off, batch_sizes[t], 0)
+                m = jax.lax.dynamic_slice_in_dim(td.mask, off, batch_sizes[t], 0)
+            else:
+                idx = jax.random.randint(keys[t], (batch_sizes[t],), 0,
+                                         task_sizes[t])
+                X = jnp.take(td.X, idx, axis=0)
+                Y = jnp.take(td.Y, idx, axis=0)
+                m = jnp.take(td.mask, idx, axis=0)
             if mesh is not None:
                 # after the (tiny) gather from the row-sharded dataset,
                 # re-shard the batch over the data axis so the ELBO/grad

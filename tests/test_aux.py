@@ -155,8 +155,15 @@ def test_plotting_smoke(tmp_path):
                key=jax.random.PRNGKey(0), lengthscale=0.3)
     ax = m.plot_u(num_points=30)
     assert len(ax.lines) >= 2
+    # true-curve overlays + median input fixing (reference svmogp.py:379,405)
+    ax = m.plot_u(num_points=30, true_U=np.zeros(30),
+                  true_UX=np.linspace(0, 1, 30), median=True)
+    assert len(ax.lines) >= 3
     ax = m.plot_f(num_points=30)
     assert len(ax.lines) >= 2  # one mean line per output function
+    ax = m.plot_f(num_points=30, true_F=[np.zeros((20, 1)), np.zeros((15, 1))],
+                  true_FX=X)
+    assert len(ax.lines) >= 4
     Xp = np.linspace(0, 1, 25)[:, None]
     ax = m.plot_pred([Xp, Xp], task=0)
     assert len(ax.lines) >= 2

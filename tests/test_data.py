@@ -82,6 +82,21 @@ def test_toy_generators_shapes():
     np.testing.assert_allclose(F[1][:, 1], U[1] @ W[:, 3])
 
 
+def test_generate_toy_U():
+    from hetmogp_tpu.data import generate_toy_U
+
+    X = np.linspace(0, 1, 25)[:, None]
+    U = generate_toy_U(X, Q=3, seed=0)
+    assert U.shape == (25, 3)
+    # replicate the reference arithmetic (util.py:202-206) exactly
+    rng = np.random.RandomState(0)
+    arg = np.tile(X, (1, 3))
+    rnd = np.tile(rng.rand(1, 3), X.shape)
+    expect = (2 * rnd * np.sin(10 * rnd * arg + rng.randn(1))
+              + 2 * rnd * np.cos(20 * rnd * arg + rng.randn(1)))
+    np.testing.assert_allclose(U, expect)
+
+
 def test_init_z_kmeans():
     from hetmogp_tpu.data import init_z_kmeans
 

@@ -108,3 +108,129 @@ def test_chol_mixed_value_and_gradient():
     gr = np.asarray(jax.grad(f_ref)(jnp.asarray(K)))
     gg = np.asarray(jax.grad(f_got)(jnp.asarray(K)))
     np.testing.assert_allclose(gg, gr, atol=1e-8)
+
+
+def test_chol_cached_matches_autodiff():
+    """chol_cached: forward returns the cached factor; backward is the exact
+    Cholesky pullback via matmuls against the cached inverse.  Against jax's
+    own cholesky VJP in f64 both must agree to roundoff."""
+    rng = np.random.RandomState(3)
+    A = rng.randn(2, 12, 12)
+    K = A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(12)
+    K = jnp.asarray(K)
+    L = jnp.linalg.cholesky(K)
+    iL = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(jnp.eye(12, dtype=L.dtype), L.shape), lower=True)
+    co = jnp.asarray(rng.randn(2, 12, 12))
+
+    np.testing.assert_allclose(np.asarray(linalg.chol_cached(K, L, iL)),
+                               np.asarray(L))
+    g_ref = jax.grad(lambda K: jnp.sum(jnp.linalg.cholesky(K) * co))(K)
+    g_new = jax.grad(lambda K: jnp.sum(linalg.chol_cached(K, L, iL) * co))(K)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-10)
+
+
+def test_solve_tri_cached_matches_autodiff():
+    """solve_tri_cached: value = iL @ B; adjoints (Lbar, Bbar) match jax's
+    triangular-solve VJP to roundoff in f64."""
+    rng = np.random.RandomState(4)
+    A = rng.randn(2, 12, 12)
+    K = A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(12)
+    L = jnp.linalg.cholesky(jnp.asarray(K))
+    iL = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(jnp.eye(12, dtype=L.dtype), L.shape), lower=True)
+    B = jnp.asarray(rng.randn(2, 12, 5))
+    co = jnp.asarray(rng.randn(2, 12, 5))
+
+    def f_ref(L, B):
+        return jnp.sum(jax.scipy.linalg.solve_triangular(L, B, lower=True) * co)
+
+    def f_new(L, B):
+        return jnp.sum(linalg.solve_tri_cached(L, B, iL) * co)
+
+    np.testing.assert_allclose(
+        np.asarray(linalg.solve_tri_cached(L, B, iL)),
+        np.asarray(jax.scipy.linalg.solve_triangular(L, B, lower=True)),
+        atol=1e-10)
+    gL_ref, gB_ref = jax.grad(f_ref, argnums=(0, 1))(L, B)
+    gL_new, gB_new = jax.grad(f_new, argnums=(0, 1))(L, B)
+    np.testing.assert_allclose(np.asarray(gL_new),
+                               np.asarray(jnp.tril(gL_ref)), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gB_new), np.asarray(gB_ref),
+                               atol=1e-10)
+
+
+def test_fast_projection_matmuls_pin_highest_precision():
+    """REGRESSION (round-1 '75% gradient error'): applying the cached
+    triangular inverse with DEFAULT-precision TPU matmuls rounds operands
+    to bfloat16 per pass and destroys P = Kfu @ iLuu^T (measured 1.5e0
+    relative error at M=1024, cond(Kuu)~1e6, vs 2.3e-4 at HIGHEST — the
+    solve path measures 1.6e-4).  The failure is TPU-specific (CPU matmuls
+    ignore the flag), so pin the HIGHEST flag in the emitted jaxpr."""
+    from hetmogp_tpu import Bernoulli, HetGaussian, ModelConfig
+    from hetmogp_tpu.models import elbo as elbo_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(HetGaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=8, input_dim=1, dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None],
+                         lengthscale=0.3, variance=0.8, q_mu_scale=0.3)
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    iLuu = jax.scipy.linalg.solve_triangular(
+        Luu, jnp.broadcast_to(jnp.eye(8, dtype=Luu.dtype), Luu.shape),
+        lower=True)
+    X = jnp.asarray(rng.rand(10, 1), jnp.float32)
+
+    for cache_grad in (False, True):
+        jaxpr = str(jax.make_jaxpr(
+            lambda p: elbo_mod.latent_projections(
+                p, cfg, Luu, X, iLuu=iLuu, cache_grad=cache_grad))(params))
+        assert "Precision.HIGHEST" in jaxpr, (
+            "fast-projection matmul lost its HIGHEST precision pin "
+            f"(cache_grad={cache_grad})")
+
+
+def test_elbo_cache_grad_matches_plain_hyper_gradients():
+    """VM fast path: hyper gradients through chol_cached/solve_tri_cached
+    equal plain autodiff through the fresh factorization (f64)."""
+    from hetmogp_tpu import Bernoulli, HetGaussian, ModelConfig
+    from hetmogp_tpu.data import full_batch
+    from hetmogp_tpu.models import elbo as elbo_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(HetGaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=8, input_dim=1, dtype="float64",
+                      jitter=1e-6, adaptive_jitter=False)
+    X_list = [rng.rand(20, 1), rng.rand(15, 1)]
+    Y_list = [rng.randn(20, 1), (rng.rand(15, 1) > .5).astype(float)]
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None],
+                         lengthscale=0.3, variance=0.8, q_mu_scale=0.3)
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    iLuu = jax.scipy.linalg.solve_triangular(
+        Luu, jnp.broadcast_to(jnp.eye(8, dtype=Luu.dtype), Luu.shape),
+        lower=True)
+    sc = jnp.asarray(scales)
+
+    hp = dict(log_lengthscale=params.log_lengthscale,
+              log_variance=params.log_variance, Z=params.Z, W=params.W,
+              kappa=params.kappa)
+
+    def loss_plain(hp):
+        return -elbo_mod.elbo_fn(params.replace(**hp), data, sc, cfg)[0]
+
+    def loss_cached(hp):
+        return -elbo_mod.elbo_fn(params.replace(**hp), data, sc, cfg,
+                                 Luu=Luu, iLuu=iLuu, cache_grad=True)[0]
+
+    v1, g1 = jax.value_and_grad(loss_plain)(hp)
+    v2, g2 = jax.value_and_grad(loss_cached)(hp)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+    for k in hp:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-9, atol=1e-10)

@@ -132,9 +132,10 @@ def test_adadelta_optimizer_improves():
 
 def test_luu_cache_matches_uncached_steps():
     """VE-step Luu caching must be a pure optimization: trajectories with
-    and without the cache are identical."""
+    and without the cache are identical.  (fast_projection off: the
+    matmul-vs-solve roundoff is covered by the tolerance-based test below.)"""
     cfg, params, X_list, Y_list = _problem()
-    tc = TrainConfig(optimizer="adam", step_rate=0.03)
+    tc = TrainConfig(optimizer="adam", step_rate=0.03, fast_projection=False)
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
     step = train_mod.make_svi_step(cfg, tc, vem=True)
@@ -158,7 +159,7 @@ def test_fast_projection_matches_solve_path():
     cfg, params, X_list, Y_list = _problem()
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
-    tc_a = TrainConfig(optimizer="adam", step_rate=0.03)
+    tc_a = TrainConfig(optimizer="adam", step_rate=0.03, fast_projection=False)
     tc_b = TrainConfig(optimizer="adam", step_rate=0.03, fast_projection=True)
     step_a = train_mod.make_svi_step(cfg, tc_a, vem=True)
     step_b = train_mod.make_svi_step(cfg, tc_b, vem=True)
