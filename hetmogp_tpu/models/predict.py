@@ -144,6 +144,25 @@ def sample_f(params: SVMOGPParams, config: ModelConfig, key, Xnew,
 def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
                         Xtrain_list: Sequence, Xnew,
                         output_function_ind: int = 0):
+    """Reference ``_raw_predict_f`` semantics — jitted wrapper, see
+    ``_predict_f_projected_impl`` for the algebra."""
+    d = output_function_ind
+    t = config.function_index[d]
+    X = jnp.asarray(Xtrain_list[t], config.np_dtype)
+    Xs = jnp.asarray(Xnew, config.np_dtype)
+    return _jitted_f_projected(config)(params, X, Xs, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_f_projected(config: ModelConfig):
+    return jax.jit(
+        lambda params, X, Xs, d: _predict_f_projected_impl(
+            params, config, X, Xs, d),
+        static_argnums=3)
+
+
+def _predict_f_projected_impl(params: SVMOGPParams, config: ModelConfig,
+                              X, Xs, output_function_ind: int = 0):
     """Reference ``_raw_predict_f`` semantics (svmogp.py:255-278): form the
     q(f_d) posterior at the task's TRAINING inputs, then re-project it to
     Xnew through the function-space prior Kfdfd (a GPy ``Posterior``
@@ -158,9 +177,6 @@ def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
     from hetmogp_tpu.ops import kernels, linalg
 
     d = output_function_ind
-    t = config.function_index[d]
-    X = jnp.asarray(Xtrain_list[t], config.np_dtype)
-    Xs = jnp.asarray(Xnew, config.np_dtype)
     Luu = elbo_mod.prior_cholesky(params, config)
 
     # full q(f_d) moments at the training inputs

@@ -20,3 +20,13 @@ import jax  # noqa: E402
 # override at config level so tests run on the 8 virtual CPU devices.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound on a 1-core CI
+# host (~6 min cold); repeat runs reuse compiled programs from disk.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("HETMOGP_JAX_CACHE",
+                                     "/tmp/hetmogp_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs: cold-compile every run
+    pass

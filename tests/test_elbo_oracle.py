@@ -172,7 +172,7 @@ def test_elbo_gradients_match_oracle_fd():
         return oracle.elbo(X_list, Y_list, Z_, W_, kappa, ls_, var_, m_u_,
                            np.tril(L_u_), task_specs, scales)
 
-    grads = jax.grad(jax_elbo, argnums=(0, 1, 2, 3, 4, 5))(
+    grads = jax.jit(jax.grad(jax_elbo, argnums=(0, 1, 2, 3, 4, 5)))(
         m_u, L_u, W, ls, var, Z)
 
     args = [m_u, L_u, W, ls, var, Z]
@@ -247,7 +247,8 @@ def test_rank2_coregionalization_matches_oracle():
         return oracle.elbo(X_list, Y_list, Z, W, kappa, ls_rep, var_rep,
                            m_u, L_u, task_specs, scales)
 
-    e_jax, _ = elbo_mod.elbo_fn(params, data, jnp.asarray(scales), cfg)
+    e_jax = jax.jit(lambda p: elbo_mod.elbo_fn(p, data, jnp.asarray(scales),
+                                               cfg)[0])(params)
     np.testing.assert_allclose(float(e_jax), oracle_elbo(ls), rtol=1e-9)
 
     # tied lengthscale gradient (one value per kernel group, summed over its
@@ -256,7 +257,7 @@ def test_rank2_coregionalization_matches_oracle():
         p = params.replace(log_lengthscale=log_ls)
         return elbo_mod.elbo_fn(p, data, jnp.asarray(scales), cfg)[0]
 
-    g = np.asarray(jax.grad(f)(params.log_lengthscale))
+    g = np.asarray(jax.jit(jax.grad(f))(params.log_lengthscale))
     eps = 1e-6
     for q in range(Q):
         lsp, lsm = ls.copy(), ls.copy()

@@ -56,7 +56,8 @@ def test_logpdf_matches_oracle(lik, olp, odl, od2, gen, j, t):
     n = 13
     F = rng.randn(n, j)
     Y = gen(rng, n)
-    got = np.asarray(lik.logpdf_batch(jnp.asarray(F), jnp.asarray(Y)))
+    got = np.asarray(jax.jit(lik.logpdf_batch)(jnp.asarray(F),
+                                               jnp.asarray(Y)))
     expect = olp(F, Y)
     np.testing.assert_allclose(got, expect, atol=1e-10)
 
@@ -67,7 +68,8 @@ def test_var_exp_matches_oracle(lik, olp, odl, od2, gen, j, t):
     n = 11
     m, v = _moments(rng, n, j)
     Y = gen(rng, n)
-    got = np.asarray(lik.var_exp(jnp.asarray(Y), jnp.asarray(m), jnp.asarray(v)))
+    got = np.asarray(jax.jit(lik.var_exp)(jnp.asarray(Y), jnp.asarray(m),
+                                          jnp.asarray(v)))
     expect = oracle.gh_var_exp(olp, Y, m, v, t)
     # analytic (Het)Gaussian vs its own quadrature: near-exact; rest exact
     np.testing.assert_allclose(got, expect, atol=5e-8)
@@ -79,7 +81,8 @@ def test_var_exp_derivatives_match_reference_form(lik, olp, odl, od2, gen, j, t)
     n = 7
     m, v = _moments(rng, n, j)
     Y = gen(rng, n)
-    dm, dv = lik.var_exp_derivatives(jnp.asarray(Y), jnp.asarray(m), jnp.asarray(v))
+    dm, dv = jax.jit(lik.var_exp_derivatives)(jnp.asarray(Y), jnp.asarray(m),
+                                              jnp.asarray(v))
     edm, edv = oracle.gh_var_exp_derivs(odl, od2, Y, m, v, t)
     np.testing.assert_allclose(np.asarray(dm), edm, atol=1e-8)
     np.testing.assert_allclose(np.asarray(dv), edv, atol=1e-8)
@@ -90,7 +93,7 @@ def test_predictive_shapes_and_sanity(lik, olp, odl, od2, gen, j, t):
     rng = np.random.RandomState(3)
     n = 9
     m, v = _moments(rng, n, j)
-    mp, vp = lik.predictive(jnp.asarray(m), jnp.asarray(v))
+    mp, vp = jax.jit(lik.predictive)(jnp.asarray(m), jnp.asarray(v))
     assert mp.shape == (n, lik.dim_p)
     assert vp.shape == (n, lik.dim_p)
     assert np.isfinite(np.asarray(mp)).all()
@@ -153,13 +156,14 @@ def test_het_likelihood_dispatcher():
     Y = [jnp.asarray(rng.randn(5, 1)), jnp.asarray((rng.rand(4, 1) > 0.5).astype(float))]
     mu = [jnp.asarray(rng.randn(5, 2)), jnp.asarray(rng.randn(4, 1))]
     vv = [jnp.asarray(0.3 * rng.rand(5, 2) + 0.05), jnp.asarray(0.3 * rng.rand(4, 1) + 0.05)]
-    ve = het.var_exp(Y, mu, vv)
+    ve = jax.jit(het.var_exp)(Y, mu, vv)
     assert ve[0].shape == (5,) and ve[1].shape == (4,)
-    dm, dv = het.var_exp_derivatives(Y, mu, vv)
+    dm, dv = jax.jit(het.var_exp_derivatives)(Y, mu, vv)
     assert dm[0].shape == (5, 2) and dv[1].shape == (4, 1)
-    m_pred, v_pred = het.predictive(mu, vv)
+    m_pred, v_pred = jax.jit(het.predictive)(mu, vv)
     assert m_pred[0].shape == (5, 1) and m_pred[1].shape == (4, 1)
-    nlpd = het.negative_log_predictive(jax.random.PRNGKey(0), Y, mu, vv, 64)
+    nlpd = jax.jit(lambda k: het.negative_log_predictive(k, Y, mu, vv, 64))(
+        jax.random.PRNGKey(0))
     assert np.isfinite(float(nlpd))
     samples = het.samples(jax.random.PRNGKey(1),
                           [jnp.asarray(rng.randn(5, 2)), jnp.asarray(rng.randn(4, 1))])
@@ -204,8 +208,8 @@ def test_categorical_mc_var_exp_large_K():
     v3 = jnp.asarray(0.3 * rng.rand(n, 2) + 0.05)
     grid = L.Categorical(K=3)
     mc = L.Categorical(K=3, mc_samples=8192)
-    a = np.asarray(grid.var_exp(jnp.asarray(y3), m3, v3))
-    b = np.asarray(mc.var_exp(jnp.asarray(y3), m3, v3))
+    a = np.asarray(jax.jit(grid.var_exp)(jnp.asarray(y3), m3, v3))
+    b = np.asarray(jax.jit(mc.var_exp)(jnp.asarray(y3), m3, v3))
     np.testing.assert_allclose(b, a, rtol=0.05, atol=0.02)
 
     # feasibility + finite gradients at K=8
@@ -213,8 +217,8 @@ def test_categorical_mc_var_exp_large_K():
     y8 = jnp.asarray(rng.randint(1, 9, (n, 1)).astype(float))
     m8 = jnp.asarray(rng.randn(n, 7))
     v8 = jnp.asarray(0.3 * rng.rand(n, 7) + 0.05)
-    ve = big.var_exp(y8, m8, v8)
+    ve = jax.jit(big.var_exp)(y8, m8, v8)
     assert np.isfinite(np.asarray(ve)).all()
-    dm, dv = big.var_exp_derivatives(y8, m8, v8)
+    dm, dv = jax.jit(big.var_exp_derivatives)(y8, m8, v8)
     assert np.isfinite(np.asarray(dm)).all() and np.isfinite(np.asarray(dv)).all()
     assert (np.asarray(dv) <= 1e-12).all()  # E[d2logp]/2 is nonpositive here

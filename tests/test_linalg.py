@@ -228,8 +228,8 @@ def test_elbo_cache_grad_matches_plain_hyper_gradients():
         return -elbo_mod.elbo_fn(params.replace(**hp), data, sc, cfg,
                                  Luu=Luu, iLuu=iLuu, cache_grad=True)[0]
 
-    v1, g1 = jax.value_and_grad(loss_plain)(hp)
-    v2, g2 = jax.value_and_grad(loss_cached)(hp)
+    v1, g1 = jax.jit(jax.value_and_grad(loss_plain))(hp)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_cached))(hp)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
     for k in hp:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),

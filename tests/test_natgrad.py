@@ -39,20 +39,23 @@ def _gaussian_problem():
 
 def test_one_natgrad_step_is_exact_for_conjugate_likelihood():
     cfg, params, data, scales = _gaussian_problem()
-    p1 = train_mod.natgrad_update(params, data, scales, cfg, lr=1.0)
+    ng = jax.jit(lambda p: train_mod.natgrad_update(p, data, scales, cfg,
+                                                    lr=1.0))
+    p1 = ng(params)
 
     # at the optimum, the gradient wrt variational params vanishes
     def elbo_of_q(q_mu, q_sqrt):
         p = p1.replace(q_mu=q_mu, q_sqrt=q_sqrt)
         return elbo_mod.elbo_fn(p, data, scales, cfg)[0]
 
-    g_mu, g_L = jax.grad(elbo_of_q, argnums=(0, 1))(p1.q_mu, p1.q_sqrt)
+    g_mu, g_L = jax.jit(jax.grad(elbo_of_q, argnums=(0, 1)))(p1.q_mu,
+                                                             p1.q_sqrt)
     g_L = jnp.tril(g_L)  # only the lower triangle is a real parameter
     assert float(jnp.abs(g_mu).max()) < 1e-8
     assert float(jnp.abs(g_L).max()) < 1e-8
 
     # a second step is a fixed point
-    p2 = train_mod.natgrad_update(p1, data, scales, cfg, lr=1.0)
+    p2 = ng(p1)
     np.testing.assert_allclose(np.asarray(p2.q_mu), np.asarray(p1.q_mu),
                                atol=1e-8)
     S1 = np.asarray(jnp.tril(p1.q_sqrt) @ jnp.tril(p1.q_sqrt).mT)
@@ -81,20 +84,27 @@ def test_multi_latent_natgrad_progress():
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
 
-    def elbo_and_grads(p):
+    @jax.jit
+    def elbo_and_grads_j(p):
         def f(q_mu, q_sqrt):
             return elbo_mod.elbo_fn(p.replace(q_mu=q_mu, q_sqrt=q_sqrt),
                                     data, scales, cfg)[0]
 
-        e = float(f(p.q_mu, p.q_sqrt))
+        e = f(p.q_mu, p.q_sqrt)
         g_mu, g_L = jax.grad(f, argnums=(0, 1))(p.q_mu, p.q_sqrt)
-        return e, float(jnp.abs(g_mu).max()), float(jnp.abs(jnp.tril(g_L)).max())
+        return e, jnp.abs(g_mu).max(), jnp.abs(jnp.tril(g_L)).max()
 
+    def elbo_and_grads(p):
+        e, gmu, gL = elbo_and_grads_j(p)
+        return float(e), float(gmu), float(gL)
+
+    ng_step = jax.jit(lambda p: train_mod.natgrad_update(p, data, scales,
+                                                         cfg, lr=0.7))
     e0, gmu0, _ = elbo_and_grads(params)
     p = params
     elbos = [e0]
     for _ in range(30):
-        p = train_mod.natgrad_update(p, data, scales, cfg, lr=0.7)
+        p = ng_step(p)
         elbos.append(elbo_and_grads(p)[0])
     e1, gmu1, gL1 = elbo_and_grads(p)
     assert gL1 < 1e-8  # per-block S-update is exact
@@ -115,11 +125,14 @@ def test_natgrad_step_improves_nonconjugate():
                          q_mu_scale=1.0)
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
-    e0 = float(elbo_mod.elbo_fn(params, data, scales, cfg)[0])
+    ej = jax.jit(lambda p: elbo_mod.elbo_fn(p, data, scales, cfg)[0])
+    ng = jax.jit(lambda p: train_mod.natgrad_update(p, data, scales, cfg,
+                                                    lr=0.5))
+    e0 = float(ej(params))
     p = params
     for _ in range(5):
-        p = train_mod.natgrad_update(p, data, scales, cfg, lr=0.5)
-    e1 = float(elbo_mod.elbo_fn(p, data, scales, cfg)[0])
+        p = ng(p)
+    e1 = float(ej(p))
     assert e1 > e0
 
 

@@ -89,16 +89,18 @@ def test_var_exp_derivative_identities(lik, olp, gen, j, t):
     m = 0.5 * rng.randn(n, j)
     v = 0.3 * rng.rand(n, j) + 0.1
     Y = jnp.asarray(gen(rng, n))
-    dm, dv = lik.var_exp_derivatives(Y, jnp.asarray(m), jnp.asarray(v))
+    dm, dv = jax.jit(lik.var_exp_derivatives)(Y, jnp.asarray(m),
+                                              jnp.asarray(v))
 
+    ve_j = jax.jit(lik.var_exp)
     h = 1e-5
     for d in range(j):
         mp, mm = m.copy(), m.copy()
         mp[:, d] += h
         mm[:, d] -= h
-        vp = np.asarray(lik.var_exp(Y, jnp.asarray(mp), jnp.asarray(v)))
-        vm = np.asarray(lik.var_exp(Y, jnp.asarray(mm), jnp.asarray(v)))
-        v0 = np.asarray(lik.var_exp(Y, jnp.asarray(m), jnp.asarray(v)))
+        vp = np.asarray(ve_j(Y, jnp.asarray(mp), jnp.asarray(v)))
+        vm = np.asarray(ve_j(Y, jnp.asarray(mm), jnp.asarray(v)))
+        v0 = np.asarray(ve_j(Y, jnp.asarray(m), jnp.asarray(v)))
         np.testing.assert_allclose(np.asarray(dm)[:, d], (vp - vm) / (2 * h),
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(dv)[:, d],

@@ -60,11 +60,12 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
 
-    # ELBO + gradients finite
+    # ELBO + gradients finite (jit: eager quadrature custom-VJP dispatch on
+    # the 1-core CI host costs ~10x the one-shot compile)
     def loss(p):
         return -elbo_mod.elbo_fn(p, data, scales, cfg)[0]
 
-    val, grads = jax.value_and_grad(loss)(params)
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
@@ -73,7 +74,8 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     other = dataclasses.replace(cfg, whiten=not whiten)
     params_other = (elbo_mod.unwhiten_params(params, cfg) if whiten
                     else elbo_mod.whiten_params(params, cfg))
-    val2 = -elbo_mod.elbo_fn(params_other, data, scales, other)[0]
+    val2 = -jax.jit(lambda p: elbo_mod.elbo_fn(p, data, scales, other)[0])(
+        params_other)
     np.testing.assert_allclose(float(val2), float(val), rtol=1e-8)
 
     # one SVI step runs and predictions are finite
@@ -87,7 +89,8 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     assert np.isfinite(float(metrics["elbo"]))
 
     Xp = rng.rand(7, Dx)
-    mp, vp = predict_mod.predictive(state.params, cfg, [Xp] * T)
+    mp, vp = jax.jit(lambda p: predict_mod.predictive(p, cfg, [Xp] * T))(
+        state.params)
     for m, v in zip(mp, vp):
         assert np.isfinite(np.asarray(m)).all()
         assert (np.asarray(v) >= -1e-9).all()
