@@ -179,6 +179,14 @@ chol_mixed.defvjp(_chol_mixed_fwd, _chol_mixed_bwd)
 # (see models/elbo.py latent_projections).
 
 _HI = jax.lax.Precision.HIGHEST
+# Adjoint (backward) matmuls run at HIGH (bfloat16_3x): these feed ONLY the
+# VM-step hyperparameter gradients, where measured TPU error is ~5e-3
+# relative (Lbar) / ~3e-5 (Kbar) — far below minibatch gradient noise —
+# at half the cost of the 6-pass HIGHEST.  DEFAULT is catastrophic here
+# (Lbar relerr ~1.1e0, same bfloat16 operand-rounding failure as the
+# forward projection).  On CPU (the f64 parity tests) precision flags are
+# no-ops, so the exactness tests stay exact.
+_BWD = jax.lax.Precision.HIGH
 
 
 @jax.custom_vjp
@@ -203,9 +211,9 @@ def _chol_cached_fwd(K, L, iL):
 
 def _chol_cached_bwd(res, gL):
     L, iL = res
-    P = _phi(jnp.matmul(jnp.swapaxes(L, -1, -2), gL, precision=_HI))
-    T1 = jnp.matmul(jnp.swapaxes(iL, -1, -2), P, precision=_HI)  # L^{-T} P
-    S = jnp.matmul(T1, iL, precision=_HI)  # L^{-T} P L^{-1}
+    P = _phi(jnp.matmul(jnp.swapaxes(L, -1, -2), gL, precision=_BWD))
+    T1 = jnp.matmul(jnp.swapaxes(iL, -1, -2), P, precision=_BWD)  # L^{-T} P
+    S = jnp.matmul(T1, iL, precision=_BWD)  # L^{-T} P L^{-1}
     Kbar = 0.5 * (S + jnp.swapaxes(S, -1, -2))
     return (Kbar, jnp.zeros_like(L), jnp.zeros_like(iL))
 
@@ -235,8 +243,9 @@ def _solve_tri_cached_fwd(L, B, iL):
 
 def _solve_tri_cached_bwd(res, ybar):
     y, iL, L = res
-    Bbar = jnp.matmul(jnp.swapaxes(iL, -1, -2), ybar, precision=_HI)
-    Lbar = -jnp.tril(jnp.matmul(Bbar, jnp.swapaxes(y, -1, -2), precision=_HI))
+    Bbar = jnp.matmul(jnp.swapaxes(iL, -1, -2), ybar, precision=_BWD)
+    Lbar = -jnp.tril(jnp.matmul(Bbar, jnp.swapaxes(y, -1, -2),
+                                precision=_BWD))
     return (Lbar, Bbar, jnp.zeros_like(iL))
 
 
