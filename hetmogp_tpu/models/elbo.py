@@ -60,7 +60,7 @@ def task_data(X, Y, mask=None, dtype=None) -> TaskData:
 # ---------------------------------------------------------------------------
 
 def prior_cholesky(params: SVMOGPParams, config: ModelConfig,
-                   cached=None) -> jnp.ndarray:
+                   cached=None, blocked: bool = False) -> jnp.ndarray:
     """Luu: (Q, M, M) lower Cholesky factors of Kuu_q.
 
     Replaces ``latent_funs_cov`` (reference util.py:181-200) without the
@@ -70,6 +70,12 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig,
     VM-step fast path: forward reuses the cached factor, backward runs the
     exact Cholesky pullback as matmuls against the cached inverse
     (linalg.chol_cached) instead of re-factorizing + triangular solves.
+
+    blocked: route the factorization through ``linalg.blocked_cholesky``
+    (the O(M^3) work as MXU matmuls, ~2x at M=1024 — the trainer's cache
+    refresh uses this).  Only taken on the fixed-jitter, working-dtype
+    path: adaptive jitter needs the while_loop re-factorization and the
+    f64 island has its own mixed kernel.
     """
     Kuu = kernels.K_gram_batched(config.kernel, params.Z, params.lengthscale,
                                  params.variance)
@@ -81,6 +87,9 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig,
         # (requires jax_enable_x64; fixed jitter only — see ModelConfig)
         eye = jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype)
         return linalg.chol_mixed(Kuu + config.jitter * eye)
+    if blocked and not config.adaptive_jitter:
+        eye = jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype)
+        return linalg.blocked_cholesky(Kuu + config.jitter * eye)
     return linalg.jitchol(Kuu, jitter=config.jitter,
                           adaptive=config.adaptive_jitter)
 

@@ -300,3 +300,91 @@ def quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     """
     AL = A @ L
     return jnp.sum(jnp.square(AL), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# blocked factorizations: the O(M^3) work as MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# XLA's native (batched) Cholesky runs serial panel factorizations at
+# ~1 TFLOP/s on TPU v5e — the one hot op far off roofline (docs/DESIGN.md
+# §7b).  The blocked forms below keep only (nb, nb) diagonal factorizations
+# on the slow path and push the remaining O(M^3) FLOPs through
+# HIGHEST-precision f32 matmuls (~25 TFLOP/s).  Measured at the bench shape
+# (4, 1024, 1024): chol+inverse pair 1.96 -> 0.95 ms with residuals
+# ||L L^T - K|| and ||L inv(L) - I|| identical to the stock kernels.
+# Used by the trainer's VE-cache refresh and the natural-gradient update;
+# fully differentiable (composed of differentiable primitives) but the
+# custom-VJP cached adjoints remain the intended gradient path.
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _blocked_cholesky_single(A: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Left-looking blocked Cholesky of one (m, m) SPD matrix.
+
+    Block columns accumulate in separate arrays (one concatenate at the
+    end): repeated in-place updates of the full (m, m) buffer were measured
+    ~50% slower on TPU.
+    """
+    m = A.shape[-1]
+    dt = A.dtype
+    Lleft = None  # (m, j*nb): block columns factored so far
+    cols = []
+    for j in range(m // nb):
+        r0 = j * nb
+        Aj = A[r0:, r0:r0 + nb]
+        if Lleft is not None:
+            acc = Aj - jnp.matmul(Lleft[r0:, :], Lleft[r0:r0 + nb, :].T,
+                                  precision=_HI)
+        else:
+            acc = Aj
+        Lkk = jnp.linalg.cholesky(acc[:nb])
+        iLkk = jax.scipy.linalg.solve_triangular(
+            Lkk, jnp.eye(nb, dtype=dt), lower=True)
+        below = jnp.matmul(acc[nb:], iLkk.T, precision=_HI)
+        colj = jnp.concatenate(
+            [jnp.zeros((r0, nb), dt), Lkk, below], axis=0)
+        cols.append(colj)
+        Lleft = colj if Lleft is None else jnp.concatenate(
+            [Lleft, colj], axis=1)
+    return jnp.concatenate(cols, axis=1)
+
+
+def blocked_cholesky(K: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+    """Cholesky of (..., M, M) SPD matrices, blocked onto the MXU.
+
+    Falls back to ``jnp.linalg.cholesky`` when M is not divisible by nb or
+    too small for blocking to pay.  Like the stock kernel (and the fixed-
+    jitter jitchol path), failure surfaces as NaNs, not an exception.
+    """
+    m = K.shape[-1]
+    if m % nb or m <= nb:
+        return jnp.linalg.cholesky(K)
+    f = _blocked_cholesky_single
+    for _ in range(K.ndim - 2):
+        f = jax.vmap(f, in_axes=(0, None))
+    return f(K, nb)
+
+
+def rec_tri_inverse(L: jnp.ndarray, leaf: int = 128) -> jnp.ndarray:
+    """inv(L) for lower-triangular (..., m, m) L, recursive blocking.
+
+    inv([[A, 0], [B, C]]) = [[iA, 0], [-iC B iA, iC]]; the two half-size
+    inverses are independent, so each recursion level stacks them into the
+    batch axis — one batched solve at the leaves, then log2(m/leaf) levels
+    of batched matmuls.
+    """
+    m = L.shape[-1]
+    if m <= leaf or m % 2:
+        eye = jnp.eye(m, dtype=L.dtype)
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+    h = m // 2
+    A, C, B = L[..., :h, :h], L[..., h:, h:], L[..., h:, :h]
+    inv = rec_tri_inverse(jnp.stack([A, C], axis=0), leaf=leaf)
+    iA, iC = inv[0], inv[1]
+    corner = -jnp.matmul(iC, jnp.matmul(B, iA, precision=_HI), precision=_HI)
+    top = jnp.concatenate([iA, jnp.zeros_like(B).swapaxes(-1, -2)], axis=-1)
+    bot = jnp.concatenate([corner, iC], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -1,20 +1,29 @@
-"""Data-parallel execution over a TPU mesh.
+"""Data- and model-parallel execution over a TPU mesh.
 
 The reference has zero inter-process code (SURVEY.md §2c); minibatch
 subsampling with ELBO rescaling (svmogp.py:89-90) is its only N-scaling
-mechanism.  Here the same ELBO becomes SPMD: each task's minibatch is
-sharded along its N axis over a 1-D ``('data',)`` mesh, the (Q, M, M)
-variational state is replicated, and XLA inserts the psum for the VE sums
-and their gradients during ``jax.jit`` partitioning — no hand-written
-collectives, and the communication rides the ICI.
+mechanism.  Here the same ELBO becomes SPMD over two mesh axes:
 
-Per-task batch sizes must be divisible by the mesh size; the
+* ``data`` — each task's minibatch is sharded along its N axis; XLA
+  inserts the psum for the VE sums and their gradients during ``jax.jit``
+  partitioning.
+* ``latent`` (optional, 2-D mesh) — the model-parallel axis for this model
+  class (SURVEY.md §2c "optional Q-sharding of latent functions"): every
+  Q-leading array (q_mu, q_sqrt, Z, per-latent kernel hypers, W, kappa, and
+  the cached Luu/iLuu) is sharded over latent GPs, so the per-q batched
+  Cholesky/solves/grams run on different chips and the mixing contraction
+  ``sum_q w_qd (...)`` becomes an ICI psum.  No hand-written collectives
+  anywhere — placement + jit propagation emit them.
+
+Per-task batch sizes must be divisible by the data-axis size; the
 MinibatchStream's ``pad_multiple`` handles ragged tails with masked rows.
+Q (times the coregionalization rank) must be divisible by the latent-axis
+size.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
@@ -22,11 +31,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hetmogp_tpu.config import ModelConfig, TrainConfig
 from hetmogp_tpu.models.elbo import TaskData
+from hetmogp_tpu.models.params import SVMOGPParams
 
 
 def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices, axis_names=("data",))
+
+
+def model_mesh(devices: Optional[Sequence] = None, latent: int = 1) -> Mesh:
+    """2-D ``('data', 'latent')`` mesh: n_devices/latent x latent."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n % latent:
+        raise ValueError(f"{n} devices not divisible by latent={latent}")
+    return Mesh(devices.reshape(n // latent, latent),
+                axis_names=("data", "latent"))
+
+
+def _has_latent_axis(mesh: Mesh) -> bool:
+    return "latent" in mesh.axis_names and mesh.shape["latent"] > 1
+
+
+def _latent_spec(mesh: Mesh, leaf) -> NamedSharding:
+    return NamedSharding(mesh, P("latent", *([None] * (np.ndim(leaf) - 1))))
+
+
+def param_shardings(mesh: Mesh, params: SVMOGPParams):
+    """Latent-axis shardings for every (Q-leading) parameter leaf."""
+    return jax.tree_util.tree_map(lambda l: _latent_spec(mesh, l), params)
+
+
+def state_shardings(mesh: Mesh, state) -> Any:
+    """Shardings for a ``train.TrainState`` over a 2-D model mesh.
+
+    params and the params-shaped optimizer moments shard over 'latent';
+    the cached Luu/iLuu (Q-leading) likewise; everything else replicates.
+    On a 1-D data mesh this returns fully-replicated specs.
+    """
+    rep = NamedSharding(mesh, P())
+    if not _has_latent_axis(mesh):
+        return jax.tree_util.tree_map(lambda _: rep, state)
+    n_latent = int(np.shape(state.params.q_mu)[0])
+
+    def spec(node):
+        if isinstance(node, SVMOGPParams):
+            return param_shardings(mesh, node)
+        if np.ndim(node) >= 1 and np.shape(node)[0] == n_latent:
+            return _latent_spec(mesh, node)
+        return rep
+
+    return jax.tree_util.tree_map(
+        spec, state, is_leaf=lambda x: isinstance(x, SVMOGPParams))
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh (latent-sharded where applicable)."""
+    return jax.tree_util.tree_map(jax.device_put, state,
+                                  state_shardings(mesh, state))
 
 
 def batch_shardings(mesh: Mesh, num_tasks: int):
@@ -47,16 +109,21 @@ def make_sharded_svi_step(config: ModelConfig, train_config: TrainConfig,
                           mesh: Mesh, vem: bool = True):
     """The SVI train step jitted with explicit shardings over the mesh.
 
-    Same body as ``train.make_svi_step`` — state replicated, batches sharded
-    on N, scales replicated.  XLA partitions the per-datapoint VE work across
-    devices and inserts an ICI psum for the scalar/gradient reductions.
+    Same body as ``train.make_svi_step`` — batches sharded on N, scales
+    replicated.  On a 1-D data mesh the state is replicated; on a 2-D
+    ``('data','latent')`` mesh the state keeps the caller's placement (use
+    ``shard_state`` to put the Q-leading leaves on the latent axis), and
+    XLA partitions the per-q linear algebra across the latent axis and the
+    per-datapoint VE work across the data axis, inserting ICI collectives
+    for the q-contractions and the gradient reductions.
     """
     from hetmogp_tpu import train as train_mod
 
     body = train_mod.make_svi_step_body(config, train_config, vem=vem)
-    rep = NamedSharding(mesh, P())
     data_sh = batch_shardings(mesh, config.num_tasks)
-    return jax.jit(body, in_shardings=(rep, data_sh, rep))
+    rep = NamedSharding(mesh, P())
+    state_sh = None if _has_latent_axis(mesh) else rep
+    return jax.jit(body, in_shardings=(state_sh, data_sh, rep))
 
 
 def make_sharded_elbo(config: ModelConfig, mesh: Mesh):

@@ -121,7 +121,7 @@ def _tri_inverse(Luu: jnp.ndarray, precise: bool = False) -> jnp.ndarray:
     dt = Luu.dtype
     m = Luu.shape[-1]
     eye = jnp.eye(m, dtype=dt)
-    iL = linalg.solve_tri(Luu, jnp.broadcast_to(eye, Luu.shape))
+    iL = linalg.rec_tri_inverse(Luu)
     if precise:
         hi = jax.lax.Precision.HIGHEST
         R = eye - jnp.matmul(Luu, iL, precision=hi)
@@ -133,7 +133,8 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
                      fast_projection: bool = True) -> TrainState:
-    Luu = elbo_mod.prior_cholesky(params, config) if cache_luu else None
+    Luu = (elbo_mod.prior_cholesky(params, config, blocked=True)
+           if cache_luu else None)
     iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
                       iLuu)
@@ -343,7 +344,7 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 return state.Luu, state.iLuu
 
             def refresh(p):
-                L = elbo_mod.prior_cholesky(p, config)
+                L = elbo_mod.prior_cholesky(p, config, blocked=True)
                 # keep the inverse alive iff the state carries one (it may
                 # be present but unused when fast_projection is off)
                 return L, (_tri_inverse(L) if state.iLuu is not None
@@ -470,7 +471,11 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                           Y=NamedSharding(mesh, P("data", None)),
                           mask=NamedSharding(mesh, P("data")))
         for _ in range(config.num_tasks))
-    return jax.jit(run, in_shardings=(rep, data_sh, rep),
+    # on a 2-D ('data','latent') mesh the state arrives latent-sharded
+    # (parallel.sharding.shard_state); None keeps the caller's placement
+    has_latent = "latent" in mesh.axis_names and mesh.shape["latent"] > 1
+    state_sh = None if has_latent else rep
+    return jax.jit(run, in_shardings=(state_sh, data_sh, rep),
                    donate_argnums=(0,))
 
 

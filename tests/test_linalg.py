@@ -234,3 +234,76 @@ def test_elbo_cache_grad_matches_plain_hyper_gradients():
     for k in hp:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    rtol=1e-9, atol=1e-10)
+
+
+class TestBlockedKernels:
+    """Blocked Cholesky / recursive triangular inverse (MXU path for the
+    O(M^3) factorization work; docs/DESIGN.md §7b)."""
+
+    def _spd(self, q=2, m=256, dtype=jnp.float64, seed=0, jitter=1e-6):
+        rng = np.random.RandomState(seed)
+        x = rng.rand(q, m, 1)
+        d2 = (x[:, :, None, 0] - x[:, None, :, 0]) ** 2
+        K = np.exp(-0.5 * d2 / 0.01) + jitter * np.eye(m)
+        return jnp.asarray(K, dtype)
+
+    def test_blocked_cholesky_matches_stock_f64(self):
+        K = self._spd()
+        L_blk = linalg.blocked_cholesky(K, nb=128)
+        L_ref = jnp.linalg.cholesky(K)
+        np.testing.assert_allclose(np.asarray(L_blk), np.asarray(L_ref),
+                                   atol=1e-10)
+
+    def test_blocked_cholesky_residual_f32(self):
+        # 1e-4 jitter: the trainer's fixed-jitter floor for f32 throughput
+        # mode (TrainConfig/DESIGN §7) — 1e-6 is below f32 resolution at
+        # this conditioning for ANY Cholesky, stock included
+        K = self._spd(dtype=jnp.float32, jitter=1e-4)
+        L = np.asarray(linalg.blocked_cholesky(K, nb=128))
+        Kn = np.asarray(K)
+        for i in range(K.shape[0]):
+            res = np.abs(L[i] @ L[i].T - Kn[i]).max() / np.abs(Kn[i]).max()
+            assert res < 2e-5, res  # stock f32 measures ~7e-6 at this cond
+
+    def test_blocked_cholesky_fallback_small_or_ragged(self):
+        # m <= nb and m % nb != 0 must take the stock kernel bit-for-bit
+        for m in (64, 200):
+            K = self._spd(m=m)
+            np.testing.assert_array_equal(
+                np.asarray(linalg.blocked_cholesky(K, nb=128)),
+                np.asarray(jnp.linalg.cholesky(K)))
+
+    def test_rec_tri_inverse_residual(self):
+        for dtype, jit_, tol in ((jnp.float64, 1e-6, 1e-10),
+                                 (jnp.float32, 1e-4, 2e-3)):
+            L = jnp.linalg.cholesky(self._spd(m=256, dtype=dtype, jitter=jit_))
+            iL = np.asarray(linalg.rec_tri_inverse(L, leaf=64))
+            Ln = np.asarray(L)
+            for i in range(Ln.shape[0]):
+                res = np.abs(Ln[i] @ iL[i] - np.eye(256)).max()
+                assert res < tol, res
+
+    def test_rec_tri_inverse_matches_solve(self):
+        L = jnp.linalg.cholesky(self._spd(m=256))
+        iL_rec = np.asarray(linalg.rec_tri_inverse(L, leaf=64))
+        iL_ref = np.asarray(jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(jnp.eye(256, dtype=L.dtype), L.shape),
+            lower=True))
+        np.testing.assert_allclose(iL_rec, iL_ref, atol=1e-9)
+
+    def test_prior_cholesky_blocked_gate(self):
+        """blocked=True must match the fixed-jitter jitchol factor."""
+        from hetmogp_tpu.config import ModelConfig
+        from hetmogp_tpu import likelihoods as Lk
+        from hetmogp_tpu.models import elbo as elbo_mod
+        from hetmogp_tpu.models.params import init_params
+
+        cfg = ModelConfig(likelihoods=(Lk.Gaussian(),), num_latent=2,
+                          num_inducing=256, input_dim=1, dtype="float64",
+                          adaptive_jitter=False)
+        params = init_params(jax.random.PRNGKey(0), cfg,
+                             np.linspace(0, 1, 256)[:, None], lengthscale=0.3)
+        L_blk = elbo_mod.prior_cholesky(params, cfg, blocked=True)
+        L_ref = elbo_mod.prior_cholesky(params, cfg)
+        np.testing.assert_allclose(np.asarray(L_blk), np.asarray(L_ref),
+                                   atol=1e-10)

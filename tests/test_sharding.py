@@ -134,3 +134,72 @@ def test_sharded_scan_trainer_matches_unsharded():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+
+
+def test_model_parallel_2d_mesh_matches_unsharded():
+    """2-D ('data','latent') mesh: Q-sharded state + N-sharded batches ==
+    unsharded step (the model-parallel axis, SURVEY.md §2c)."""
+    cfg, params, data, scales = _problem(M=8, Q=4)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    s1, m1 = step(train_mod.TrainState(params, opt.init(params),
+                                       jnp.asarray(0)), data, scales)
+
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=4)  # 2 data x 4 latent
+    assert mesh.shape == {"data": 2, "latent": 4}
+    sstep = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
+    s0 = sharding.shard_state(
+        mesh, train_mod.TrainState(params, opt.init(params), jnp.asarray(0)))
+    # state really is latent-sharded
+    assert not s0.params.q_sqrt.sharding.is_fully_replicated
+    s2, m2 = sstep(s0, sharding.shard_batch(mesh, data), scales)
+
+    np.testing.assert_allclose(float(m2["elbo"]), float(m1["elbo"]), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
+    # the updated state keeps its latent sharding (stable scan carry)
+    assert not s2.params.q_sqrt.sharding.is_fully_replicated
+
+
+def test_model_parallel_scan_trainer():
+    """Scan trainer over the 2-D mesh with the Luu/iLuu cache sharded on
+    the latent axis: trajectory matches the unsharded scan trainer."""
+    rng = np.random.RandomState(3)
+    n, M, Q = 64, 8, 4
+    liks = (L.HetGaussian(), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64")
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    tc = TrainConfig(optimizer="adam", step_rate=0.02)
+    from hetmogp_tpu.data import full_batch as fb
+    dataset, _ = fb(X_list, Y_list, dtype=cfg.np_dtype, pad_multiple=8)
+    opt = train_mod.make_optimizer(tc)
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+
+    run_plain = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32),
+                                            vem=True, steps_per_call=10)
+    s1, e1 = run_plain(train_mod.init_train_state(params, cfg, opt,
+                                                  cache_luu=True),
+                       jax.device_put(dataset), jax.random.PRNGKey(5))
+
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=4)
+    run_sh = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32),
+                                         vem=True, steps_per_call=10,
+                                         mesh=mesh)
+    s0 = sharding.shard_state(
+        mesh, train_mod.init_train_state(params_copy, cfg, opt,
+                                         cache_luu=True))
+    assert not s0.Luu.sharding.is_fully_replicated
+    s2, e2 = run_sh(s0, sharding.shard_batch(mesh, dataset),
+                    jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), rtol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
