@@ -133,7 +133,11 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
                      fast_projection: bool = True) -> TrainState:
-    Luu = (elbo_mod.prior_cholesky(params, config, blocked=True)
+    # jitted: eager slicing/concatenate chains in the blocked factorization
+    # can hit backend InvalidArgument over a remote TPU tunnel (same issue
+    # as _tri_inverse); under jit they fuse into one program
+    Luu = (jax.jit(lambda p: elbo_mod.prior_cholesky(p, config,
+                                                     blocked=True))(params)
            if cache_luu else None)
     iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
