@@ -125,6 +125,24 @@ class SVMOGP:
         self.elbo_history = np.concatenate([self.elbo_history, hist])
         return self
 
+    def fit_svi_on_device(self, batch_size, num_steps: int,
+                          train_config: Optional[TrainConfig] = None,
+                          vem: bool = True, steps_per_call: int = 100,
+                          mesh=None, key=None):
+        """SVI with the whole loop on-device (lax.scan over HBM-resident
+        data) — the production TPU path.  mesh: optional 1-D ('data',) or
+        2-D ('data','latent') jax.sharding.Mesh for multi-chip training
+        (parallel.data_mesh / parallel.model_mesh)."""
+        from hetmogp_tpu import train as train_mod
+
+        tc = train_config or TrainConfig()
+        self.params, hist = train_mod.svi_fit_on_device(
+            self.params, self.config, tc, self.Xmulti_all, self.Ymulti_all,
+            batch_size, num_steps, vem=vem, steps_per_call=steps_per_call,
+            mesh=mesh, key=key)
+        self.elbo_history = np.concatenate([self.elbo_history, hist])
+        return self
+
     # ---- prediction (reference svmogp.py:219-370) ------------------------
     def predict_u(self, Xnew, latent_function_ind: Optional[int] = None,
                   full_cov: bool = False):

@@ -486,22 +486,37 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
 def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                       train_config: TrainConfig, X_list, Y_list,
                       batch_sizes, num_steps: int, *, key=None,
-                      vem: bool = True, steps_per_call: int = 100):
-    """Convenience wrapper over make_scan_trainer; returns (params, history)."""
+                      vem: bool = True, steps_per_call: int = 100,
+                      mesh=None):
+    """Convenience wrapper over make_scan_trainer; returns (params, history).
+
+    mesh: optional jax.sharding.Mesh — a 1-D ('data',) mesh shards batch
+    rows across devices; a 2-D ('data','latent') mesh (parallel.model_mesh)
+    additionally shards the Q-leading state over latent GPs.
+    """
     from hetmogp_tpu.data import full_batch
 
     if isinstance(batch_sizes, int):
         batch_sizes = tuple([batch_sizes] * len(X_list))
     key = key if key is not None else jax.random.PRNGKey(train_config.seed)
     dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype)
-    dataset = jax.device_put(dataset)
     task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
     runner = make_scan_trainer(config, train_config, task_sizes,
                                tuple(batch_sizes), vem=vem,
-                               steps_per_call=steps_per_call)
+                               steps_per_call=steps_per_call, mesh=mesh)
     optimizer = make_optimizer(train_config)
+    # the scan runner donates its input state, which would otherwise
+    # consume the CALLER's param buffers — train on a private copy
+    params = jax.tree_util.tree_map(jnp.array, params)
     state = init_train_state(params, config, optimizer, cache_luu=vem,
                              fast_projection=train_config.fast_projection)
+    if mesh is not None:
+        from hetmogp_tpu.parallel import sharding as _sh
+
+        dataset = _sh.shard_batch(mesh, dataset)
+        state = _sh.shard_state(mesh, state)
+    else:
+        dataset = jax.device_put(dataset)
     chunks = []
     done = 0
     while done < num_steps:

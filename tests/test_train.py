@@ -256,3 +256,42 @@ def test_climin_adadelta_matches_numpy_replica():
 
     np.testing.assert_allclose(np.stack(traj_j), np.stack(traj_np),
                                rtol=0, atol=1e-12)
+
+
+def test_svi_on_device_with_mesh():
+    """svi_fit_on_device(mesh=...) — user-level multi-chip entry: both the
+    1-D data mesh and the 2-D ('data','latent') mesh produce the same
+    trajectory as the unsharded on-device run."""
+    from hetmogp_tpu.parallel import sharding
+
+    cfg, params, X_list, Y_list = _problem(dtype="float64", Q=2)
+    tc = TrainConfig(optimizer="adam", step_rate=0.02)
+    _, h_plain = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=40, num_steps=20,
+        key=jax.random.PRNGKey(2), steps_per_call=10)
+    mesh1 = sharding.data_mesh(jax.devices()[:8])
+    _, h_dp = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=40, num_steps=20,
+        key=jax.random.PRNGKey(2), steps_per_call=10, mesh=mesh1)
+    mesh2 = sharding.model_mesh(jax.devices()[:8], latent=2)
+    _, h_mp = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=40, num_steps=20,
+        key=jax.random.PRNGKey(2), steps_per_call=10, mesh=mesh2)
+    np.testing.assert_allclose(h_dp, h_plain, rtol=1e-10)
+    np.testing.assert_allclose(h_mp, h_plain, rtol=1e-10)
+
+
+def test_model_fit_svi_on_device():
+    """SVMOGP.fit_svi_on_device trains and extends the ELBO history."""
+    from hetmogp_tpu.models.svmogp import SVMOGP
+
+    cfg, params, X_list, Y_list = _problem(dtype="float64")
+    m = SVMOGP(cfg, X_list, Y_list, np.asarray(params.Z[0]),
+               key=jax.random.PRNGKey(0))
+    e0 = m.log_likelihood()
+    m.fit_svi_on_device(batch_size=40, num_steps=60,
+                        train_config=TrainConfig(optimizer="adam",
+                                                 step_rate=0.02),
+                        steps_per_call=30)
+    assert len(m.elbo_history) == 60
+    assert m.log_likelihood() > e0
