@@ -58,8 +58,20 @@ def _latent_spec(mesh: Mesh, leaf) -> NamedSharding:
 
 
 def param_shardings(mesh: Mesh, params: SVMOGPParams):
-    """Latent-axis shardings for every (Q-leading) parameter leaf."""
-    return jax.tree_util.tree_map(lambda l: _latent_spec(mesh, l), params)
+    """Latent-axis shardings for the (Q-leading) parameter leaves.
+
+    With coregionalization rank R > 1 the kernel hypers have Q rows while
+    the latent copies (Z, q_mu, q_sqrt, W, kappa) have Q*R — leaves whose
+    first dim the latent axis does not divide are replicated instead.
+    """
+    k = mesh.shape["latent"]
+
+    def spec(leaf):
+        if np.ndim(leaf) >= 1 and np.shape(leaf)[0] % k == 0:
+            return _latent_spec(mesh, leaf)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)
 
 
 def state_shardings(mesh: Mesh, state) -> Any:

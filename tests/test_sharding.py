@@ -203,3 +203,41 @@ def test_model_parallel_scan_trainer():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+
+
+def test_model_parallel_rank2_coregionalization():
+    """Rank-2 LMC over the 2-D mesh: latent copies (Q*R rows) shard over
+    the latent axis, per-group hypers (Q rows) replicate when the axis
+    doesn't divide them; trajectory matches unsharded."""
+    rng = np.random.RandomState(4)
+    n, M, Q, R = 64, 8, 2, 2  # Qe = 4 copies
+    liks = (L.Gaussian(sigma=0.4), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64", rank=R)
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    assert params.q_mu.shape[0] == Q * R
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    s1, m1 = step(train_mod.TrainState(params, opt.init(params),
+                                       jnp.asarray(0)), data, scales)
+
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=4)  # divides Qe=4
+    sstep = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
+    s0 = sharding.shard_state(
+        mesh, train_mod.TrainState(params, opt.init(params), jnp.asarray(0)))
+    # copies sharded; per-group hypers (Q=2 rows, not divisible by 4) whole
+    assert not s0.params.q_sqrt.sharding.is_fully_replicated
+    assert s0.params.log_lengthscale.sharding.is_fully_replicated
+    s2, m2 = sstep(s0, sharding.shard_batch(mesh, data), scales)
+
+    np.testing.assert_allclose(float(m2["elbo"]), float(m1["elbo"]), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
