@@ -124,12 +124,9 @@ def main_mesh(n_devices: int = 8):
     vs 1 device is bounded.  Real-chip scaling uses the same code path.
     """
     # must run before jax initializes a backend — never inherit the TPU pin
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
+    from hetmogp_tpu.parallel.sharding import force_virtual_cpu
+
+    force_virtual_cpu(n_devices)
 
     import jax
     import jax.numpy as jnp

@@ -16,7 +16,6 @@ Run:  python examples/model_parallel.py [--steps 100] [--latent 4]
 """
 
 import argparse
-import os
 import pathlib
 import sys
 
@@ -37,12 +36,10 @@ def main():
     if not args.real:
         # must run before jax initializes a backend (checking
         # jax.device_count() first would itself initialize it)
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                                   f" --xla_force_host_platform_device_count={args.devices}")
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        import jax
+        from hetmogp_tpu.parallel.sharding import force_virtual_cpu
+
+        force_virtual_cpu(args.devices)
+    import jax
 
     import time
 

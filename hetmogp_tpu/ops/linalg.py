@@ -238,11 +238,11 @@ def solve_tri_cached(L: jnp.ndarray, B: jnp.ndarray, iL: jnp.ndarray
 
 def _solve_tri_cached_fwd(L, B, iL):
     y = jnp.matmul(iL, B, precision=_HI)
-    return y, (y, iL, L)
+    return y, (y, iL)
 
 
 def _solve_tri_cached_bwd(res, ybar):
-    y, iL, L = res
+    y, iL = res
     Bbar = jnp.matmul(jnp.swapaxes(iL, -1, -2), ybar, precision=_BWD)
     Lbar = -jnp.tril(jnp.matmul(Bbar, jnp.swapaxes(y, -1, -2),
                                 precision=_BWD))
@@ -316,9 +316,6 @@ def quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
 # Used by the trainer's VE-cache refresh and the natural-gradient update;
 # fully differentiable (composed of differentiable primitives) but the
 # custom-VJP cached adjoints remain the intended gradient path.
-
-_HI = jax.lax.Precision.HIGHEST
-
 
 def _blocked_cholesky_single(A: jnp.ndarray, nb: int) -> jnp.ndarray:
     """Left-looking blocked Cholesky of one (m, m) SPD matrix.

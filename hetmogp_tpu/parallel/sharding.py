@@ -34,6 +34,42 @@ from hetmogp_tpu.models.elbo import TaskData
 from hetmogp_tpu.models.params import SVMOGPParams
 
 
+def force_virtual_cpu(n_devices: int) -> list:
+    """Force an n-device virtual CPU platform and return those devices.
+
+    Never inherits an ambient accelerator platform pin (e.g. a TPU tunnel
+    whose libtpu may be version-skewed): sets JAX_PLATFORMS=cpu +
+    --xla_force_host_platform_device_count and, if no backend has been
+    initialized yet, the config-level overrides too.  MUST run before
+    anything initializes a jax backend (importing jax is fine; querying
+    devices is not).  Raises RuntimeError if a backend was already
+    initialized with fewer CPU devices.  Used by the multi-chip dryrun,
+    ``bench.py --mesh``, and the model-parallel example.
+    """
+    import os
+    import sys
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    bridge = sys.modules.get("jax._src.xla_bridge")
+    if bridge is None or not getattr(bridge, "_backends", None):
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except Exception:
+            pass  # older jax: XLA_FLAGS above covers it
+    cpus = jax.devices("cpu")
+    if len(cpus) < n_devices:
+        raise RuntimeError(
+            f"needed {n_devices} virtual CPU devices, got {len(cpus)}; "
+            "a jax backend was initialized before force_virtual_cpu ran")
+    return cpus[:n_devices]
+
+
 def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices, axis_names=("data",))
@@ -49,7 +85,7 @@ def model_mesh(devices: Optional[Sequence] = None, latent: int = 1) -> Mesh:
                 axis_names=("data", "latent"))
 
 
-def _has_latent_axis(mesh: Mesh) -> bool:
+def has_latent_axis(mesh: Mesh) -> bool:
     return "latent" in mesh.axis_names and mesh.shape["latent"] > 1
 
 
@@ -82,7 +118,7 @@ def state_shardings(mesh: Mesh, state) -> Any:
     On a 1-D data mesh this returns fully-replicated specs.
     """
     rep = NamedSharding(mesh, P())
-    if not _has_latent_axis(mesh):
+    if not has_latent_axis(mesh):
         return jax.tree_util.tree_map(lambda _: rep, state)
     n_latent = int(np.shape(state.params.q_mu)[0])
 
@@ -134,7 +170,7 @@ def make_sharded_svi_step(config: ModelConfig, train_config: TrainConfig,
     body = train_mod.make_svi_step_body(config, train_config, vem=vem)
     data_sh = batch_shardings(mesh, config.num_tasks)
     rep = NamedSharding(mesh, P())
-    state_sh = None if _has_latent_axis(mesh) else rep
+    state_sh = None if has_latent_axis(mesh) else rep
     return jax.jit(body, in_shardings=(state_sh, data_sh, rep))
 
 

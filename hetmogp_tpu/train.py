@@ -133,15 +133,24 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
                      fast_projection: bool = True) -> TrainState:
-    # jitted: eager slicing/concatenate chains in the blocked factorization
-    # can hit backend InvalidArgument over a remote TPU tunnel (same issue
-    # as _tri_inverse); under jit they fuse into one program
-    Luu = (jax.jit(lambda p: elbo_mod.prior_cholesky(p, config,
-                                                     blocked=True))(params)
-           if cache_luu else None)
+    Luu = _prior_cholesky_jit(params, config) if cache_luu else None
     iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
                       iLuu)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _prior_cholesky_jit(params: SVMOGPParams, config: ModelConfig):
+    """Jitted blocked prior factorization for state initialization.
+
+    Module-level (not a per-call lambda) so jit's trace cache is hit on
+    repeated inits; jitted because eager slicing/concatenate chains in the
+    blocked factorization can hit backend InvalidArgument over a remote
+    TPU tunnel (same issue as _tri_inverse) — under jit they fuse into one
+    program.  ModelConfig is hashable (frozen dataclass), so it is a valid
+    static argument.
+    """
+    return elbo_mod.prior_cholesky(params, config, blocked=True)
 
 
 class CliminAdadeltaState(NamedTuple):
@@ -202,10 +211,23 @@ def climin_adadelta(step_rate: float, decay: float = 0.9,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def adadelta_lookahead_point(params, opt_state, momentum: float):
-    """climin evaluates the gradient at ``wrt - momentum*step_{k-1}``."""
+def adadelta_lookahead_point(params, opt_state, momentum: float, mask=None):
+    """climin evaluates the gradient at ``wrt - momentum*step_{k-1}``.
+
+    mask: optional 0/1 pytree restricting the shift to the leaves the
+    current VE/VM mode will actually update.  This trainer masks UPDATES
+    (climin leaks momentum into fixed params — a reference quirk not
+    reproduced; see make_svi_step_body), so the gradient must be evaluated
+    at the point consistent with that: an unmasked shift would move frozen
+    hypers for the gradient evaluation only, making the VE forward
+    internally inconsistent with the cached Luu/iLuu built at the real
+    (unshifted) hypers.
+    """
+    step = opt_state.step
+    if mask is not None:
+        step = jax.tree_util.tree_map(lambda s, m: s * m, step, mask)
     return jax.tree_util.tree_map(
-        lambda p, s: p - momentum * s, params, opt_state.step)
+        lambda p, s: p - momentum * s, params, step)
 
 
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
@@ -247,12 +269,25 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
 
     def step_fn(state: TrainState, data, scales):
         params = state.params
+        if vem:
+            is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
+            mask = _blend_masks(ve_mask(params),
+                                vm_mask(params, train_config), is_ve)
+        else:
+            mask = all_mask(params, train_config)
+        if use_natgrad:
+            # NGD owns the variational params; remove them from the
+            # first-order optimizer's view.
+            mask = mask.replace(q_mu=jnp.zeros_like(params.q_mu),
+                                q_sqrt=jnp.zeros_like(params.q_sqrt))
         if lookahead:
             # climin applies the momentum step BEFORE the gradient eval;
             # grads are taken at the shifted point, updates (which include
-            # that momentum step) at the stored params
+            # that momentum step) at the stored params.  The shift is
+            # masked to the mode's free leaves — see adadelta_lookahead_point
             grad_point = adadelta_lookahead_point(params, state.opt_state,
-                                                  train_config.momentum)
+                                                  train_config.momentum,
+                                                  mask=mask)
         else:
             grad_point = params
         use_cache = vem and state.Luu is not None
@@ -261,8 +296,6 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 "TrainConfig.fast_projection=True but the train state has no "
                 "cached inverse — build it with init_train_state(..., "
                 "fast_projection=True)")
-        if vem:
-            is_ve = (state.step % cycle) < train_config.ve_steps_per_vm
         if use_cache:
             # VE steps freeze hypers/Z, so the cached Luu (and iLuu) are
             # exact there and the expensive Cholesky (+ inverse) and their
@@ -315,16 +348,6 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         else:
             (neg_elbo, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(grad_point, data, scales)
-        if vem:
-            mask = _blend_masks(ve_mask(params),
-                               vm_mask(params, train_config), is_ve)
-        else:
-            mask = all_mask(params, train_config)
-        if use_natgrad:
-            # NGD owns the variational params; remove them from the
-            # first-order optimizer's view.
-            mask = mask.replace(q_mu=jnp.zeros_like(params.q_mu),
-                                q_sqrt=jnp.zeros_like(params.q_sqrt))
         grads = _apply_mask(grads, mask)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         # mask the updates too: momentum optimizers would otherwise keep
@@ -396,26 +419,13 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
-                      task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
-                      vem: bool = True, steps_per_call: int = 100,
-                      mesh=None):
-    """SVI with the data pipeline on-device: one jitted call runs
-    ``steps_per_call`` optimizer steps via ``lax.scan``, sampling each step's
-    minibatch from the HBM-resident dataset with a random gather.
-
-    This is the production TPU loop: the host-stream path
-    (``make_svi_step``) pays a host->device round trip per step (~40ms over
-    a remote tunnel vs ~ms of compute); here the whole loop compiles into
-    one XLA program.
-
-    Returns run(state, dataset, key) -> (state, elbo_history (steps,)).
-    dataset: tuple of TaskData with the FULL per-task arrays (padded rows
-    carry mask 0 and are never sampled because sampling is over [0, N_t)).
-    """
-    body_step = make_svi_step_body(config, train_config, vem=vem)
-    scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
-
+def make_batch_sampler(train_config: TrainConfig, task_sizes, batch_sizes,
+                       mesh=None):
+    """Build sample_batch(key, dataset) -> tuple[TaskData] for the on-device
+    scan trainer.  minibatch="slice" draws a contiguous block at a uniform
+    random offset in [0, N_t - B_t] (ALL offsets admissible, including the
+    last); otherwise a uniform with-replacement row gather.  With a mesh,
+    batches are re-sharded over the data axis after the gather."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -430,8 +440,11 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                 # contiguous block at a random offset — cheaper than a row
                 # gather on TPU and closest to the reference's
                 # sequential-cycling slices (util.py:52-72)
+                # maxval is exclusive: N-B+1 admits the last valid offset
+                # N-B so the final rows are sampled too
                 off = jax.random.randint(keys[t], (), 0,
-                                         max(task_sizes[t] - batch_sizes[t], 1))
+                                         max(task_sizes[t] - batch_sizes[t] + 1,
+                                             1))
                 X = jax.lax.dynamic_slice_in_dim(td.X, off, batch_sizes[t], 0)
                 Y = jax.lax.dynamic_slice_in_dim(td.Y, off, batch_sizes[t], 0)
                 m = jax.lax.dynamic_slice_in_dim(td.mask, off, batch_sizes[t], 0)
@@ -451,6 +464,31 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                 m = jax.lax.with_sharding_constraint(m, mask_spec)
             batch.append(elbo_mod.TaskData(X=X, Y=Y, mask=m))
         return tuple(batch)
+
+    return sample_batch
+
+
+def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
+                      task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
+                      vem: bool = True, steps_per_call: int = 100,
+                      mesh=None):
+    """SVI with the data pipeline on-device: one jitted call runs
+    ``steps_per_call`` optimizer steps via ``lax.scan``, sampling each step's
+    minibatch from the HBM-resident dataset with a random gather.
+
+    This is the production TPU loop: the host-stream path
+    (``make_svi_step``) pays a host->device round trip per step (~40ms over
+    a remote tunnel vs ~ms of compute); here the whole loop compiles into
+    one XLA program.
+
+    Returns run(state, dataset, key) -> (state, elbo_history (steps,)).
+    dataset: tuple of TaskData with the FULL per-task arrays (padded rows
+    carry mask 0 and are never sampled because sampling is over [0, N_t)).
+    """
+    body_step = make_svi_step_body(config, train_config, vem=vem)
+    scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
+    sample_batch = make_batch_sampler(train_config, task_sizes, batch_sizes,
+                                      mesh=mesh)
 
     def run(state: TrainState, dataset, key):
         def body(carry, _):
@@ -477,8 +515,9 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
         for _ in range(config.num_tasks))
     # on a 2-D ('data','latent') mesh the state arrives latent-sharded
     # (parallel.sharding.shard_state); None keeps the caller's placement
-    has_latent = "latent" in mesh.axis_names and mesh.shape["latent"] > 1
-    state_sh = None if has_latent else rep
+    from hetmogp_tpu.parallel.sharding import has_latent_axis
+
+    state_sh = None if has_latent_axis(mesh) else rep
     return jax.jit(run, in_shardings=(state_sh, data_sh, rep),
                    donate_argnums=(0,))
 

@@ -295,3 +295,53 @@ def test_model_fit_svi_on_device():
                         steps_per_call=30)
     assert len(m.elbo_history) == 60
     assert m.log_likelihood() > e0
+
+
+def test_slice_sampler_covers_all_offsets():
+    """Regression: minibatch='slice' must admit the LAST offset N-B (the
+    exclusive randint maxval previously dropped it, so the final row of
+    every task had probability zero of being sampled)."""
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    N, B = 20, 16
+    td = elbo_mod.TaskData(X=jnp.arange(N, dtype=jnp.float64)[:, None],
+                           Y=jnp.zeros((N, 1)), mask=jnp.ones((N,)))
+    sampler = train_mod.make_batch_sampler(
+        TrainConfig(minibatch="slice"), (N,), (B,))
+    starts = set()
+    for i in range(200):
+        (b,) = sampler(jax.random.PRNGKey(i), (td,))
+        starts.add(int(b.X[0, 0]))
+    # every offset 0..N-B admissible and (with 200 draws over 5 values)
+    # actually observed — in particular the last one
+    assert starts == set(range(N - B + 1)), starts
+
+
+def test_adadelta_lookahead_masked_under_vem():
+    """Regression: under VEM the adadelta momentum-lookahead must shift
+    only the current mode's free leaves — a VE-step gradient evaluated at
+    momentum-shifted (frozen) hypers would be inconsistent with both the
+    masked update and the Luu cache built at the real hypers."""
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adadelta", step_rate=0.1, momentum=0.9)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    # run past a VM step so opt_state.step accumulates hyper components
+    for _ in range(6):
+        state, m = step(state, data, scales)
+        assert np.isfinite(float(m["elbo"]))
+    # now on a VE step (step counter 6 -> VE), the lookahead point must
+    # keep hypers at their stored values
+    mask = train_mod.ve_mask(state.params)
+    gp = train_mod.adadelta_lookahead_point(state.params, state.opt_state,
+                                            tc.momentum, mask=mask)
+    np.testing.assert_array_equal(np.asarray(gp.log_lengthscale),
+                                  np.asarray(state.params.log_lengthscale))
+    np.testing.assert_array_equal(np.asarray(gp.Z),
+                                  np.asarray(state.params.Z))
+    # and the q-leaves ARE shifted (momentum carried from earlier VE steps)
+    assert np.abs(np.asarray(gp.q_mu)
+                  - np.asarray(state.params.q_mu)).max() > 0
