@@ -40,9 +40,10 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     M = rng.choice([4, 8, 12])
     Dx = rng.randint(1, 3)
     whiten = bool(rng.rand() < 0.5)
+    R = int(rng.choice([1, 1, 2]))  # coregionalization rank, biased to 1
 
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=int(M),
-                      input_dim=Dx, whiten=whiten, dtype="float64")
+                      input_dim=Dx, whiten=whiten, dtype="float64", rank=R)
     Ns = [int(rng.randint(10, 40)) for _ in range(T)]
     X_list = [rng.rand(n, Dx) for n in Ns]
     Y_list = [g(rng, n) for g, n in zip(gens, Ns)]
@@ -94,3 +95,15 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     for m, v in zip(mp, vp):
         assert np.isfinite(np.asarray(m)).all()
         assert (np.asarray(v) >= -1e-9).all()
+
+    # full-covariance q(f) for the first task: finite, PSD-ish diagonal,
+    # and diag(full) == marginal variance
+    Luu = elbo_mod.prior_cholesky(state.params, cfg)
+    mF, covF = elbo_mod.task_qf_full_cov(state.params, cfg, Luu,
+                                         jnp.asarray(Xp), 0)
+    mF2, vF2 = elbo_mod.task_qf_moments(state.params, cfg, Luu,
+                                        jnp.asarray(Xp), 0,
+                                        clip_variance=False)
+    assert np.isfinite(np.asarray(covF)).all()
+    diag = np.diagonal(np.asarray(covF), axis1=-2, axis2=-1).T  # (N, F_t)
+    np.testing.assert_allclose(diag, np.asarray(vF2), atol=1e-8)
