@@ -393,12 +393,26 @@ def make_svi_step(config: ModelConfig, train_config: TrainConfig,
     return jax.jit(make_svi_step_body(config, train_config, vem=vem))
 
 
+def print_callback(every: int = 50):
+    """The reference's training callback: print the ELBO every ``every``
+    iterations (svmogp.py:201-217 prints 'svi - iteration ... elbo' every
+    50).  Pass to ``svi_fit(callback=...)`` / ``SVMOGP.fit_svi``."""
+
+    def cb(i, metrics):
+        if i % every == 0:
+            print(f"svi - iteration {i} elbo {float(metrics['elbo']):.6f}")
+
+    return cb
+
+
 def svi_fit(params: SVMOGPParams, config: ModelConfig,
             train_config: TrainConfig, stream, num_steps: int,
             vem: bool = True, callback: Optional[Callable] = None):
     """Run SVI for num_steps minibatch steps; returns (params, elbo_history).
 
     Mirrors the reference stochastic path (util.py:321-329 + climin loop).
+    callback(i, metrics): per-step hook; ``print_callback()`` reproduces
+    the reference's every-50-iterations ELBO print.
     """
     step = make_svi_step(config, train_config, vem=vem)
     optimizer = make_optimizer(train_config)

@@ -345,3 +345,13 @@ def test_adadelta_lookahead_masked_under_vem():
     # and the q-leaves ARE shifted (momentum carried from earlier VE steps)
     assert np.abs(np.asarray(gp.q_mu)
                   - np.asarray(state.params.q_mu)).max() > 0
+
+
+def test_print_callback(capsys):
+    """Reference parity: ELBO printed every 50 iterations (svmogp.py:205)."""
+    cb = train_mod.print_callback(every=50)
+    for i in range(120):
+        cb(i, {"elbo": jnp.asarray(-float(i))})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3  # i = 0, 50, 100
+    assert out[1] == "svi - iteration 50 elbo -50.000000"
