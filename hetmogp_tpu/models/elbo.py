@@ -252,12 +252,18 @@ def task_qf_full_cov(params: SVMOGPParams, config: ModelConfig,
     Wt = params.W[:, start:stop]  # (Q, F_t)
     Kt = params.kappa[:, start:stop]
     mean_q, cov_q = latent_projections_full(params, config, Luu, X)
-    kdiag = kernels.Kdiag_batched(config.kernel, X, params.variance)
     m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
     cov_F = jnp.einsum("qj,qnk->jnk", jnp.square(Wt), cov_q)
-    kap = jnp.einsum("qn,qj->jn", kdiag, Kt)  # (F_t, N) diagonal addition
-    eye = jnp.eye(X.shape[0], dtype=X.dtype)
-    cov_F = cov_F + kap[:, :, None] * eye[None]
+    # kappa contributes kappa_qd * k_q(X, X) to the PRIOR of f_d
+    # (B_q = W W^T + diag(kappa) scales the full kernel, util.py:166-179),
+    # with no posterior reduction (that component is not mixed through the
+    # inducing points) — matching the marginal path's kappa * kdiag term
+    # (diag(kappa K) == kappa kdiag), not a white-noise diagonal.
+    Q = Luu.shape[0]
+    Kxx = kernels.K_gram_batched(
+        config.kernel, jnp.broadcast_to(X[None], (Q,) + X.shape),
+        params.lengthscale, params.variance)  # (Q, N, N)
+    cov_F = cov_F + jnp.einsum("qj,qnk->jnk", Kt, Kxx)
     return m_F, cov_F
 
 

@@ -79,6 +79,21 @@ def _jitted_task_full_cov(config: ModelConfig):
     return jax.jit(f, static_argnums=2)
 
 
+def _as_inputs(Xnew, config: ModelConfig) -> jnp.ndarray:
+    """Validate and convert prediction inputs.
+
+    The kernels broadcast silently, so a mis-shaped X (wrong column count)
+    would produce finite-but-wrong covariances; every public predict entry
+    point validates here instead (training inputs are validated by
+    SVMOGP.__init__)."""
+    X = jnp.asarray(Xnew, config.np_dtype)
+    if X.ndim != 2 or X.shape[-1] != config.input_dim:
+        raise ValueError(
+            f"prediction inputs must be (N, {config.input_dim}) for this "
+            f"model (input_dim={config.input_dim}); got {X.shape}")
+    return X
+
+
 def predict_latent_u(params: SVMOGPParams, config: ModelConfig,
                      Xnew, latent_ind: Optional[int] = None,
                      full_cov: bool = False):
@@ -92,7 +107,7 @@ def predict_latent_u(params: SVMOGPParams, config: ModelConfig,
     not clamped (their diagonals are non-negative up to roundoff by
     construction).
     """
-    X = jnp.asarray(Xnew, config.np_dtype)
+    X = _as_inputs(Xnew, config)
     if full_cov:
         mean_q, cov_q = _jitted_latent_u_full(config)(params, X)
         if latent_ind is not None:
@@ -116,7 +131,7 @@ def predict_f(params: SVMOGPParams, config: ModelConfig, Xnew,
     d = output_function_ind
     t = config.function_index[d]
     j = config.d_index[d]
-    X = jnp.asarray(Xnew, config.np_dtype)
+    X = _as_inputs(Xnew, config)
     if full_cov:
         m_F, cov_F = _jitted_task_full_cov(config)(params, X, t)
         return m_F[:, j], cov_F[j]
@@ -144,29 +159,46 @@ def sample_f(params: SVMOGPParams, config: ModelConfig, key, Xnew,
 def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
                         Xtrain_list: Sequence, Xnew,
                         output_function_ind: int = 0):
-    """Reference ``_raw_predict_f`` semantics — jitted wrapper, see
-    ``_predict_f_projected_impl`` for the algebra."""
+    """Reference ``_raw_predict_f`` semantics for ONE output function —
+    computed via the task-batched projection (see
+    ``_predict_f_projected_task``) and sliced."""
     d = output_function_ind
     t = config.function_index[d]
-    X = jnp.asarray(Xtrain_list[t], config.np_dtype)
-    Xs = jnp.asarray(Xnew, config.np_dtype)
-    return _jitted_f_projected(config)(params, X, Xs, d)
+    j = config.d_index[d]
+    mu, var = predict_f_projected_task(params, config, Xtrain_list, Xnew, t)
+    return mu[j], var[j]
+
+
+def predict_f_projected_task(params: SVMOGPParams, config: ModelConfig,
+                             Xtrain_list: Sequence, Xnew, task: int):
+    """Reference ``_raw_predict_f`` semantics for EVERY output function of
+    one task at once: (mu (F_t, Ns), var (F_t, Ns)).
+
+    The d-independent work (prior Cholesky, Kfu build, triangular solves,
+    per-latent grams, posterior correction G) is shared across the task's
+    F_t output functions and the per-d O(N^3) factorizations run as ONE
+    batched Cholesky — the reference instead re-runs full inference per d
+    (svmogp.py:263-266)."""
+    t = task
+    X = _as_inputs(Xtrain_list[t], config)
+    Xs = _as_inputs(Xnew, config)
+    return _jitted_f_projected_task(config)(params, X, Xs, t)
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_f_projected(config: ModelConfig):
+def _jitted_f_projected_task(config: ModelConfig):
     return jax.jit(
-        lambda params, X, Xs, d: _predict_f_projected_impl(
-            params, config, X, Xs, d),
+        lambda params, X, Xs, t: _predict_f_projected_task_impl(
+            params, config, X, Xs, t),
         static_argnums=3)
 
 
-def _predict_f_projected_impl(params: SVMOGPParams, config: ModelConfig,
-                              X, Xs, output_function_ind: int = 0):
+def _predict_f_projected_task_impl(params: SVMOGPParams, config: ModelConfig,
+                                   X, Xs, task: int):
     """Reference ``_raw_predict_f`` semantics (svmogp.py:255-278): form the
     q(f_d) posterior at the task's TRAINING inputs, then re-project it to
     Xnew through the function-space prior Kfdfd (a GPy ``Posterior``
-    Woodbury projection).
+    Woodbury projection) — batched over the task's output functions d.
 
     This is O(N^3) in the training size and is NOT the recommended path —
     ``predict_f`` computes the inducing-point posterior at Xnew directly —
@@ -176,10 +208,10 @@ def _predict_f_projected_impl(params: SVMOGPParams, config: ModelConfig,
     """
     from hetmogp_tpu.ops import kernels, linalg
 
-    d = output_function_ind
+    Qe = config.num_latent_eff
     Luu = elbo_mod.prior_cholesky(params, config)
 
-    # full q(f_d) moments at the training inputs
+    # ---- d-independent: q(f) ingredients at the training inputs
     Kfu = kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
                             params.variance)  # (Q, N, M)
     Lq = jnp.tril(params.q_sqrt)
@@ -189,15 +221,13 @@ def _predict_f_projected_impl(params: SVMOGPParams, config: ModelConfig,
     else:
         P = jnp.swapaxes(linalg.solve_tri(Luu, R, trans=True), -1, -2)
         # un-whitened: mean/cov contraction against Kuf, not Luu^-1 Kuf
-    w = params.W[:, d]  # (Q,)
-    B_dd = jnp.square(w) + params.kappa[:, d]
     mean_q = jnp.einsum("qnm,qm->qn", P, params.q_mu)
-    m_fd = jnp.einsum("q,qn->n", w, mean_q)
-
-    kfn = kernels.kern_fn(config.kernel)
-    Kq_full = jnp.stack([
-        kfn(X, X, params.lengthscale[q], params.variance[q])
-        for q in range(config.num_latent_eff)])  # (Q, N, N)
+    Kq_full = kernels.K_gram_batched(
+        config.kernel, jnp.broadcast_to(X[None], (Qe,) + X.shape),
+        params.lengthscale, params.variance)  # (Q, N, N)
+    Kx = kernels.K_batched(config.kernel, X,
+                           jnp.broadcast_to(Xs[None], (Qe,) + Xs.shape),
+                           params.lengthscale, params.variance)  # (Q, N, Ns)
     PL = P @ Lq  # (Q, N, M)
     if config.whiten:
         G = PL @ jnp.swapaxes(PL, -1, -2) - P @ jnp.swapaxes(P, -1, -2)
@@ -205,26 +235,25 @@ def _predict_f_projected_impl(params: SVMOGPParams, config: ModelConfig,
         # A S A^T - A Kuf  with A = P in un-whitened coordinates
         G = (PL @ jnp.swapaxes(PL, -1, -2)
              - jnp.einsum("qnm,qkm->qnk", P, Kfu))
-    S_fd = jnp.einsum("q,qnk->nk", B_dd, Kq_full) + jnp.einsum(
-        "q,qnk->nk", jnp.square(w), G)
 
-    # prior at training inputs / cross / new diag for output d
-    Kdd = jnp.einsum("q,qnk->nk", B_dd, Kq_full)
-    Kx = jnp.stack([
-        kfn(X, Xs, params.lengthscale[q], params.variance[q])
-        for q in range(config.num_latent_eff)])
-    Kx_d = jnp.einsum("q,qns->ns", B_dd, Kx)
+    # ---- per-output-function: O(Q)-sized mixing weights, batched over F_t
+    start, stop = config.task_function_slices[task]
+    Wt = params.W[:, start:stop]  # (Q, F)
+    B = jnp.square(Wt) + params.kappa[:, start:stop]  # (Q, F)
+    m_f = jnp.einsum("qf,qn->fn", Wt, mean_q)  # (F, N)
+    Kdd = jnp.einsum("qf,qnk->fnk", B, Kq_full)  # (F, N, N)
+    S_f = Kdd + jnp.einsum("qf,qnk->fnk", jnp.square(Wt), G)
+    Kx_f = jnp.einsum("qf,qns->fns", B, Kx)  # (F, N, Ns)
     # stationary kernels: Kdiag = variance
-    kxx_diag = jnp.einsum("q,q->", B_dd, params.variance) * jnp.ones(
-        (Xs.shape[0],), X.dtype)
+    kxx_diag = jnp.einsum("qf,q->f", B, params.variance)[:, None] * jnp.ones(
+        (1, Xs.shape[0]), X.dtype)  # (F, Ns)
 
-    LK = linalg.jitchol(Kdd[None], jitter=config.jitter,
-                        adaptive=True)[0]
-    wv = linalg.cho_solve_batched(LK[None], m_fd[None, :, None])[0, :, 0]
-    tmp = linalg.cho_solve_batched(LK[None], Kx_d[None])[0]  # K^-1 Kx
-    mu = Kx_d.T @ wv
-    var = (kxx_diag - jnp.sum(tmp * Kx_d, axis=0)
-           + jnp.sum(tmp * (S_fd @ tmp), axis=0))
+    LK = linalg.jitchol(Kdd, jitter=config.jitter, adaptive=True)  # (F, N, N)
+    wv = linalg.cho_solve_batched(LK, m_f[:, :, None])[..., 0]  # (F, N)
+    tmp = linalg.cho_solve_batched(LK, Kx_f)  # (F, N, Ns): K^-1 Kx
+    mu = jnp.einsum("fns,fn->fs", Kx_f, wv)
+    var = (kxx_diag - jnp.einsum("fns,fns->fs", tmp, Kx_f)
+           + jnp.einsum("fns,fns->fs", tmp, S_f @ tmp))
     return mu, jnp.maximum(var, 0.0)
 
 
@@ -232,7 +261,7 @@ def predict_f_all(params: SVMOGPParams, config: ModelConfig,
                   X_list: Sequence) -> list:
     """q(f) moments for every task: [(m_F_t, v_F_t)] with (N_t, F_t) arrays."""
     f = _jitted_task_moments(config)
-    return [f(params, jnp.asarray(X_t, config.np_dtype), t)
+    return [f(params, _as_inputs(X_t, config), t)
             for t, X_t in enumerate(X_list)]
 
 
@@ -253,15 +282,10 @@ def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence,
         if Xtrain_list is None:
             raise ValueError("projected=True requires Xtrain_list")
         moments = []
-        for t, lik in enumerate(config.likelihoods):
-            cols_m, cols_v = [], []
-            start, stop = config.task_function_slices[t]
-            for d in range(start, stop):
-                m_d, v_d = predict_f_projected(params, config, Xtrain_list,
-                                               X_list[t], d)
-                cols_m.append(m_d)
-                cols_v.append(v_d)
-            moments.append((jnp.stack(cols_m, -1), jnp.stack(cols_v, -1)))
+        for t in range(config.num_tasks):
+            mu, var = predict_f_projected_task(params, config, Xtrain_list,
+                                               X_list[t], t)
+            moments.append((mu.T, var.T))  # (N, F_t) each
     else:
         moments = predict_f_all(params, config, X_list)
     m_pred, v_pred = [], []

@@ -233,11 +233,16 @@ class SVMOGP:
         return ax
 
     def plot_f(self, dim: int = 0, num_points: int = 200, ax=None,
-               true_F=None, true_FX=None):
+               true_F=None, true_FX=None, median: bool = False):
         """Output-parameter-function posterior bands (reference plot_f,
         svmogp.py:408-434).  true_F/true_FX overlay ground-truth latent
         mixtures per task (reference svmogp.py:431-432: true_F is a list of
-        per-task (N_t, F_t) arrays, true_FX the matching inputs)."""
+        per-task (N_t, F_t) arrays, true_FX the matching inputs).
+
+        median: with multi-dimensional inputs, fix the non-plotted input
+        dimensions at their training median (like plot_u); the default
+        sweeps every input dimension together.
+        """
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -245,12 +250,21 @@ class SVMOGP:
         f_index = self.config.function_index
         d_index = self.config.d_index
         for d in range(self.num_output_funcs):
-            Xt = self.Xmulti_all[f_index[d]]
-            Xp = np.linspace(Xt[:, dim].min(), Xt[:, dim].max(), num_points)[:, None]
+            Xt = np.asarray(self.Xmulti_all[f_index[d]])
+            line = np.linspace(Xt[:, dim].min(), Xt[:, dim].max(), num_points)
+            if self.config.input_dim > 1:
+                if median:
+                    Xp = np.tile(np.median(Xt, axis=0)[None, :],
+                                 (num_points, 1))
+                else:
+                    Xp = np.tile(line[:, None], (1, self.config.input_dim))
+                Xp[:, dim] = line
+            else:
+                Xp = line[:, None]
             m, v = predict_mod.predict_f(self.params, self.config, Xp, d)
             m, s = np.asarray(m), np.sqrt(np.asarray(v))
-            ax.plot(Xp[:, 0], m, "r-", alpha=0.5)
-            ax.fill_between(Xp[:, 0], m - 2 * s, m + 2 * s, alpha=0.15)
+            ax.plot(Xp[:, dim], m, "r-", alpha=0.5)
+            ax.fill_between(Xp[:, dim], m - 2 * s, m + 2 * s, alpha=0.15)
             if true_F is not None:
                 ax.plot(np.asarray(true_FX[f_index[d]])[:, dim],
                         np.asarray(true_F[f_index[d]])[:, d_index[d]],

@@ -2,14 +2,20 @@
 
 Pallas kernels pay off when the fused distance+exp epilogue would otherwise
 round-trip a large N x M block through HBM; for the small/medium blocks of
-most workloads XLA's own fusion is already at the roofline.  The default
-policy is therefore conservative and the Pallas path is opt-in via
-``use_pallas=True`` or the ``HETMOGP_USE_PALLAS`` env var.
+most workloads XLA's own fusion is already at the roofline.  Policy:
+
+* the Pallas path AUTO-ENABLES on TPU/f32 blocks of N*M >= 2^26 elements
+  (where it measures 1.75x over XLA — large-N prediction shapes);
+* ``use_pallas=True`` or ``HETMOGP_USE_PALLAS=1`` forces it for smaller
+  blocks; if the request cannot be honored (not on TPU, or non-f32 inputs)
+  a warning is emitted and the XLA path runs;
+* ``use_pallas=False`` or ``HETMOGP_USE_PALLAS=0`` disables it everywhere.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 import jax
 
@@ -33,8 +39,15 @@ def should_use_pallas(use_pallas, X, Z) -> bool:
         return False
     forced = use_pallas is True or env in ("1", "true", "on")
     if not _on_tpu():
+        if forced:
+            warnings.warn("use_pallas requested but backend is not TPU; "
+                          "running the XLA kernel instead", stacklevel=3)
         return False
     if str(X.dtype) != "float32":  # the fused kernel is f32-only
+        if forced:
+            warnings.warn(f"use_pallas requested but dtype is {X.dtype} "
+                          "(f32-only kernel); running the XLA kernel instead",
+                          stacklevel=3)
         return False
     n, m = X.shape[0], Z.shape[1]
     big = n * m >= _MIN_ELEMS

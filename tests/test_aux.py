@@ -167,3 +167,28 @@ def test_plotting_smoke(tmp_path):
     Xp = np.linspace(0, 1, 25)[:, None]
     ax = m.plot_pred([Xp, Xp], task=0)
     assert len(ax.lines) >= 2
+
+
+def test_plotting_2d_inputs():
+    """plot_u/plot_f with input_dim=2: valid (N, 2) grids reach the predict
+    paths (regression — plot_f used to pass a (N, 1) grid that the kernels
+    silently broadcast into wrong covariances)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig, SVMOGP
+
+    rng = np.random.RandomState(1)
+    X = [rng.rand(20, 2), rng.rand(15, 2)]
+    Y = [rng.randn(20, 1), (rng.rand(15, 1) > 0.5).astype(float)]
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=4, input_dim=2, dtype="float64")
+    m = SVMOGP(cfg, X, Y, rng.rand(4, 2), key=jax.random.PRNGKey(0),
+               lengthscale=0.3)
+    for median in (False, True):
+        ax = m.plot_f(num_points=10, median=median)
+        assert len(ax.lines) >= 2
+        ax = m.plot_u(num_points=10, median=median)
+        assert len(ax.lines) >= 2

@@ -219,3 +219,77 @@ def test_sample_f_moments_match_full_cov():
     emp_cov = np.cov(np.asarray(S).T)
     np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=0.05)
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.05)
+
+
+def test_prediction_input_validation():
+    """Mis-shaped Xnew must raise, not silently broadcast (the kernels
+    broadcast a wrong column count into finite-but-wrong covariances)."""
+    import pytest
+
+    cfg, params, _ = _setup()
+    X_list = [np.random.rand(12, cfg.input_dim) for _ in range(cfg.num_tasks)]
+    bad = np.random.rand(5, cfg.input_dim + 1)
+    with pytest.raises(ValueError, match="prediction inputs"):
+        predict_mod.predict_f(params, cfg, bad, 0)
+    with pytest.raises(ValueError, match="prediction inputs"):
+        predict_mod.predict_latent_u(params, cfg, bad)
+    with pytest.raises(ValueError, match="prediction inputs"):
+        predict_mod.predictive(params, cfg, [bad for _ in X_list])
+    with pytest.raises(ValueError, match="prediction inputs"):
+        predict_mod.predict_f_projected(params, cfg, X_list, bad, 0)
+
+
+def test_full_cov_kappa_consistency():
+    """With kappa != 0 the full-covariance path must still agree with the
+    marginal path on the diagonal (kappa contributes kappa*K(X,X), whose
+    diagonal is kappa*kdiag — regression for the white-noise-kappa bug)."""
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    cfg, params, _ = _setup()
+    params = params.replace(kappa=0.3 * jnp.ones_like(params.kappa))
+    Xp = jnp.asarray(np.random.RandomState(0).rand(6, cfg.input_dim),
+                     cfg.np_dtype)
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    mF, covF = elbo_mod.task_qf_full_cov(params, cfg, Luu, Xp, 0)
+    mF2, vF2 = elbo_mod.task_qf_moments(params, cfg, Luu, Xp, 0,
+                                        clip_variance=False)
+    np.testing.assert_allclose(np.asarray(mF), np.asarray(mF2), atol=1e-10)
+    diag = np.diagonal(np.asarray(covF), axis1=-2, axis2=-1).T
+    np.testing.assert_allclose(diag, np.asarray(vF2), atol=1e-8)
+    # and the off-diagonals are NOT white (kappa K has off-diagonal mass)
+    off = np.asarray(covF)[0] - np.diag(np.diag(np.asarray(covF)[0]))
+    assert np.abs(off).max() > 1e-3
+
+
+def test_projected_task_matches_per_d():
+    """The task-batched projection must give each d's moments exactly."""
+    cfg, params, _ = _setup()
+    X_list = [np.random.RandomState(2).rand(15, cfg.input_dim)
+              for _ in range(cfg.num_tasks)]
+    Xs = np.random.RandomState(1).rand(9, cfg.input_dim)
+    for t in range(cfg.num_tasks):
+        mu_t, var_t = predict_mod.predict_f_projected_task(
+            params, cfg, X_list, Xs, t)
+        start, stop = cfg.task_function_slices[t]
+        for j, d in enumerate(range(start, stop)):
+            mu_d, var_d = predict_mod.predict_f_projected(
+                params, cfg, X_list, Xs, d)
+            np.testing.assert_array_equal(np.asarray(mu_d),
+                                          np.asarray(mu_t)[j])
+            np.testing.assert_array_equal(np.asarray(var_d),
+                                          np.asarray(var_t)[j])
+
+
+def test_pallas_forced_off_tpu_warns():
+    """An explicit use_pallas=True that cannot be honored must warn."""
+    import warnings as _w
+
+    from hetmogp_tpu.ops import pallas_dispatch
+
+    X = jnp.zeros((4, 1), jnp.float32)
+    Z = jnp.zeros((2, 3, 1), jnp.float32)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = pallas_dispatch.should_use_pallas(True, X, Z)
+    assert out is False  # CPU test host
+    assert any("XLA kernel instead" in str(r.message) for r in rec)
