@@ -19,11 +19,6 @@ import numpy as np
 from hetmogp_tpu.models.params import SVMOGPParams
 
 
-def _flatten_with_paths(tree):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return leaves, treedef
-
-
 def _normalize(path) -> Path:
     """np.savez always appends '.npz' to suffix-less names; pin the suffix on
     both save and load so save('ckpt') + load('ckpt') round-trips."""
@@ -32,7 +27,14 @@ def _normalize(path) -> Path:
 
 
 def save_checkpoint(path, params: SVMOGPParams, opt_state: Any = None,
-                    step: int = 0, extra: Optional[dict] = None):
+                    step: int = 0, extra: Optional[dict] = None,
+                    rng_key=None):
+    """Save (params, opt_state, step, extra, rng_key) as one .npz.
+
+    extra must be JSON-serializable (no arrays); the training RNG key goes
+    through ``rng_key`` (stored as an array) so mid-training resume can
+    continue the minibatch/MC sampling stream.
+    """
     path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
@@ -45,6 +47,8 @@ def save_checkpoint(path, params: SVMOGPParams, opt_state: Any = None,
         for i, leaf in enumerate(o_leaves):
             arrays[f"opt_{i}"] = np.asarray(leaf)
         n_opt = len(o_leaves)
+    if rng_key is not None:
+        arrays["_rng_key"] = np.asarray(rng_key)
     meta = {"step": int(step), "n_opt": n_opt, "extra": extra or {}}
     arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
@@ -80,4 +84,7 @@ def load_checkpoint(path, params_template: SVMOGPParams,
                         f"template {tmpl.shape}")
                 new_o.append(arr.astype(tmpl.dtype))
             opt_state = jax.tree_util.tree_unflatten(o_def, new_o)
-        return params, opt_state, meta["step"], meta["extra"]
+        extra = dict(meta["extra"])
+        if "_rng_key" in z.files:
+            extra["rng_key"] = np.array(z["_rng_key"])
+        return params, opt_state, meta["step"], extra

@@ -21,9 +21,20 @@ import numpy as np
 from hetmogp_tpu.models.elbo import TaskData, task_data
 
 
-def batch_scales(X_all: Sequence, X_batch: Sequence) -> List[float]:
-    """N_full / N_batch per task (reference util.py:15-19, svmogp.py:89-90)."""
-    return [float(len(xa)) / float(len(xb)) for xa, xb in zip(X_all, X_batch)]
+def batch_scales(X_all: Sequence, X_batch: Sequence,
+                 masks: Optional[Sequence] = None) -> List[float]:
+    """N_full / N_batch per task (reference util.py:15-19, svmogp.py:89-90).
+
+    masks: optional per-task 0/1 row masks for PADDED batches — padding
+    rows must not count toward N_batch or every scale is deflated
+    (MinibatchStream.next already divides by its real row count; pass
+    ``[b.mask for b in batch]`` when scaling padded batches by hand).
+    """
+    if masks is None:
+        return [float(len(xa)) / float(len(xb))
+                for xa, xb in zip(X_all, X_batch)]
+    return [float(len(xa)) / float(np.sum(m))
+            for xa, m in zip(X_all, masks)]
 
 
 class MinibatchStream:
@@ -204,7 +215,7 @@ def true_f_functions(true_u: Sequence, W: np.ndarray, function_index,
         u_task = np.asarray(true_u[t])
         dims = [d for d in range(len(function_index)) if function_index[d] == t]
         F = np.zeros((u_task.shape[0], len(dims)))
-        for j, d in enumerate(dims):
-            F[:, j] = u_task @ W[:, d]
+        for d in dims:
+            F[:, int(np.ravel(d_index)[d])] = u_task @ W[:, d]
         out.append(F)
     return out

@@ -9,7 +9,7 @@ model code — only jax and the parameter arrays.
     Path("model.bin").write_bytes(blob)
     # in the server:
     fn = load_predictive(Path("model.bin").read_bytes())
-    m1, v1, m2, v2, ... = fn(params_flat + X_list)
+    m1, v1, m2, v2, ... = fn(*params_args(params), *X_list)
 
 The exported function is shape-specialized to the example batch sizes
 (standard for serving; export several shapes if needed).
@@ -33,7 +33,7 @@ def _flat_predictive(config: ModelConfig):
     def f(Z, q_mu, q_sqrt, log_ls, log_var, W, kappa, *X_list):
         params = SVMOGPParams(Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
                               log_lengthscale=log_ls, log_variance=log_var,
-                              W=W, kappa=kappa)
+                              W=W, kappa=kappa, rank=config.rank)
         m_pred, v_pred = predict_mod.predictive(params, config, list(X_list))
         out = []
         for m, v in zip(m_pred, v_pred):

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from hetmogp_tpu.likelihoods.base import Likelihood
@@ -56,8 +57,6 @@ class HetLikelihood:
         one wide array via metadata masks; per-task lists keep shapes
         static).
         """
-        import jax.numpy as jnp
-
         out = []
         for t, lik in enumerate(self.likelihoods_list):
             F_t = jnp.asarray(F[t])
@@ -69,8 +68,6 @@ class HetLikelihood:
 
     def pdf(self, F, Y, Y_metadata=None):
         """Per-task densities (het_likelihood.py:46-57)."""
-        import jax.numpy as jnp
-
         return [jnp.exp(lp) for lp in self.logpdf(F, Y)]
 
     def num_output_functions(self, Y_metadata=None) -> int:
@@ -113,8 +110,6 @@ class HetLikelihood:
 
     def samples(self, key, F, Y_metadata=None):
         """One sampled observation set per task (het_likelihood.py:72-83)."""
-        import jax.numpy as jnp
-
         keys = jax.random.split(key, len(self.likelihoods_list))
         # cast to the backend's canonical float so numpy float64 inputs don't
         # request an unavailable dtype under x64-disabled configs

@@ -29,7 +29,10 @@ class HetGaussian(Likelihood):
         # nodes (inactive at |f2| < ~20, so parity values are unchanged).
         e_var = jnp.maximum(safe_exp(f[1]), 1e-9)
         ym = y[0] - f[0]
-        return -0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * f[1] - 0.5 * safe_square(ym) / e_var
+        # -0.5 log(e_var), not -0.5 f[1]: identical where the floor is
+        # inactive, saturating with the residual term where it is
+        return (-0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.log(e_var)
+                - 0.5 * safe_square(ym) / e_var)
 
     def var_exp(self, Y, M, V):
         y = Y[:, 0]

@@ -32,8 +32,12 @@ class StudentT(Likelihood):
         # the residual infinite at extreme quadrature nodes
         scale = jnp.clip(safe_exp(f[1]), 1e-9, 1e9)
         r = (y[0] - f[0]) / scale
+        # -log(scale), not -f[1]: identical where the clip is inactive,
+        # and saturating WITH the residual where it is — the raw -f[1]
+        # would keep growing linearly while the clipped residual term
+        # froze, sending logpdf to +inf for f2 << log(1e-9)
         return (g((v + 1.0) / 2.0) - g(v / 2.0)
-                - 0.5 * jnp.log(v * jnp.pi) - f[1]
+                - 0.5 * jnp.log(v * jnp.pi) - jnp.log(scale)
                 - (v + 1.0) / 2.0 * jnp.log1p(jnp.square(r) / v))
 
     def conditional_moments(self, f):

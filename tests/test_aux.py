@@ -1,5 +1,6 @@
 """Auxiliary subsystems: metrics logging, profiling/debug utilities."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -192,3 +193,75 @@ def test_plotting_2d_inputs():
         assert len(ax.lines) >= 2
         ax = m.plot_u(num_points=10, median=median)
         assert len(ax.lines) >= 2
+
+
+def test_export_rank2_roundtrip():
+    """Regression: exporting a rank-2 coregionalization model (per-group
+    hypers Q rows vs Q*R latent copies) must reconstruct params with the
+    right rank inside the exported function."""
+    import jax
+
+    from hetmogp_tpu import Gaussian, ModelConfig
+    from hetmogp_tpu.export import export_predictive, load_predictive, params_args
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    cfg = ModelConfig(likelihoods=(Gaussian(),), num_latent=2,
+                      num_inducing=4, input_dim=1, dtype="float64", rank=2)
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 4)[:, None], lengthscale=0.3)
+    assert params.q_mu.shape[0] == 4  # Q*R copies
+    X = np.linspace(0, 1, 7)[:, None]
+    blob = export_predictive(params, cfg, [X])
+    fn = load_predictive(blob)
+    out = fn(*params_args(params), *[jnp.asarray(X, cfg.np_dtype)])
+    m_ref, v_ref = predict_mod.predictive(params, cfg, [X])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(m_ref[0]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(v_ref[0]),
+                               rtol=1e-10)
+
+
+def test_checkpoint_rng_key_roundtrip(tmp_path):
+    import jax
+
+    from hetmogp_tpu import Gaussian, ModelConfig
+    from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from hetmogp_tpu.models.params import init_params
+
+    cfg = ModelConfig(likelihoods=(Gaussian(),), num_latent=2,
+                      num_inducing=4, input_dim=1, dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 4)[:, None])
+    key = jax.random.PRNGKey(42)
+    p = tmp_path / "ck"
+    save_checkpoint(p, params, step=5, rng_key=key)
+    _, _, step, extra = load_checkpoint(p, params)
+    assert step == 5
+    np.testing.assert_array_equal(extra["rng_key"], np.asarray(key))
+
+
+def test_clipped_scale_logpdf_tails():
+    """Regression: StudentT/HetGaussian logpdf must go DOWN (not +inf) as
+    the log-scale latent goes far negative past the clip floor — the raw
+    -f2 normalizer kept growing while the clipped residual froze."""
+    from hetmogp_tpu.likelihoods import HetGaussian, StudentT
+
+    for lik in (StudentT(df=5.0), HetGaussian()):
+        f_mid = jnp.asarray([0.0, -30.0])
+        f_deep = jnp.asarray([0.0, -300.0])
+        y = jnp.asarray([1.0])
+        lp_mid = float(lik.logpdf(f_mid, y))
+        lp_deep = float(lik.logpdf(f_deep, y))
+        assert lp_deep <= lp_mid + 1e-6, (lik, lp_mid, lp_deep)
+        assert np.isfinite(lp_deep)
+
+
+def test_batch_scales_with_masks():
+    from hetmogp_tpu.data import batch_scales
+
+    X_all = [np.zeros((100, 1))]
+    Xb = [np.zeros((32, 1))]
+    mask = [np.concatenate([np.ones(30), np.zeros(2)])]
+    assert batch_scales(X_all, Xb) == [100.0 / 32.0]
+    assert batch_scales(X_all, Xb, masks=mask) == [100.0 / 30.0]
