@@ -36,7 +36,9 @@ class MetricsLogger:
         if self._fh is not None:
             self._fh.write(json.dumps(rec) + "\n")
         if self.print_every and (step + 1) % self.print_every == 0:
-            self.printer(f"svi - iteration {step + 1}: elbo={rec.get('elbo'):.4f}")
+            e = rec.get("elbo")
+            shown = f"{e:.4f}" if isinstance(e, (int, float)) else "n/a"
+            self.printer(f"svi - iteration {step + 1}: elbo={shown}")
 
     def close(self):
         if self._fh is not None:

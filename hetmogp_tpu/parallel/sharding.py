@@ -49,12 +49,17 @@ def force_virtual_cpu(n_devices: int) -> list:
     import os
     import sys
 
+    import re
+
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
+    # rewrite (not skip) a pre-existing count: a stale smaller value would
+    # otherwise win and surface as a misleading "backend already
+    # initialized" error below
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
     bridge = sys.modules.get("jax._src.xla_bridge")
     if bridge is None or not getattr(bridge, "_backends", None):
         jax.config.update("jax_platforms", "cpu")

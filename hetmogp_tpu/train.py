@@ -315,6 +315,12 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                     return loss_fn(pp, data, scales, sg(state.Luu),
                                    sg(state.iLuu) if fastp else None)
 
+                if use_natgrad:
+                    # NGD owns q on VE steps and the VE mask zeroes every
+                    # other leaf, so the whole adam gradient is dead —
+                    # compute only the ELBO value for the metrics
+                    v, aux = loss_q(p.q_mu, p.q_sqrt)
+                    return (v, aux), zeros
                 (v, aux), g = jax.value_and_grad(
                     loss_q, argnums=(0, 1), has_aux=True)(p.q_mu, p.q_sqrt)
                 return (v, aux), zeros.replace(q_mu=g[0], q_sqrt=g[1])
@@ -357,14 +363,23 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         updates = _apply_mask(updates, mask)
         params = optax.apply_updates(params, updates)
         if use_natgrad:
+            # NGD runs only on VE steps under VEM — as a lax.cond branch so
+            # the VM steps skip its full forward+backward and three
+            # O(Q M^3) factorizations entirely (jnp.where would evaluate
+            # both sides under jit).  On VE steps hypers/Z are frozen, so
+            # the cached prior Cholesky is exact and threads through.
+            ng_luu = (jax.lax.stop_gradient(state.Luu)
+                      if use_cache else None)
+
+            def ng(p):
+                return natgrad_update(p, data, scales, config,
+                                      train_config.natgrad_lr, Luu=ng_luu)
+
             if vem:
                 do_ng = (state.step % cycle) < train_config.ve_steps_per_vm
+                params = jax.lax.cond(do_ng, ng, lambda p: p, params)
             else:
-                do_ng = jnp.asarray(True)
-            params_ng = natgrad_update(params, data, scales, config,
-                                       train_config.natgrad_lr)
-            params = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(do_ng, a, b), params_ng, params)
+                params = ng(params)
         if use_cache:
             # refresh the cache after VM steps (hypers/Z moved)
             def keep(p):
@@ -451,17 +466,24 @@ def make_batch_sampler(train_config: TrainConfig, task_sizes, batch_sizes,
         keys = jax.random.split(key, len(dataset))
         for t, td in enumerate(dataset):
             if train_config.minibatch == "slice":
-                # contiguous block at a random offset — cheaper than a row
-                # gather on TPU and closest to the reference's
-                # sequential-cycling slices (util.py:52-72)
-                # maxval is exclusive: N-B+1 admits the last valid offset
-                # N-B so the final rows are sampled too
-                off = jax.random.randint(keys[t], (), 0,
-                                         max(task_sizes[t] - batch_sizes[t] + 1,
-                                             1))
-                X = jax.lax.dynamic_slice_in_dim(td.X, off, batch_sizes[t], 0)
-                Y = jax.lax.dynamic_slice_in_dim(td.Y, off, batch_sizes[t], 0)
-                m = jax.lax.dynamic_slice_in_dim(td.mask, off, batch_sizes[t], 0)
+                # contiguous WRAPAROUND block at a uniform random offset —
+                # cheaper than a row gather on TPU and, like the
+                # reference's sequential-cycling slices (util.py:52-72),
+                # contiguous; the circular wrap gives every row the same
+                # inclusion probability B/N, so the N/B ELBO scale is
+                # unbiased (plain [0, N-B] offsets under-sample the first/
+                # last B-1 rows of each task)
+                nt, bt = task_sizes[t], batch_sizes[t]
+                if bt >= nt:  # whole (possibly padded) task every step
+                    X, Y, m = td.X, td.Y, td.mask
+                else:
+                    off = jax.random.randint(keys[t], (), 0, nt)
+                    Xe = jnp.concatenate([td.X, td.X[:bt]], axis=0)
+                    Ye = jnp.concatenate([td.Y, td.Y[:bt]], axis=0)
+                    me = jnp.concatenate([td.mask, td.mask[:bt]], axis=0)
+                    X = jax.lax.dynamic_slice_in_dim(Xe, off, bt, 0)
+                    Y = jax.lax.dynamic_slice_in_dim(Ye, off, bt, 0)
+                    m = jax.lax.dynamic_slice_in_dim(me, off, bt, 0)
             else:
                 idx = jax.random.randint(keys[t], (batch_sizes[t],), 0,
                                          task_sizes[t])
@@ -572,12 +594,22 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
         dataset = jax.device_put(dataset)
     chunks = []
     done = 0
-    while done < num_steps:
+    while done + steps_per_call <= num_steps:
         key, sub = jax.random.split(key)
         state, elbos = runner(state, dataset, sub)
         chunks.append(np.asarray(elbos))
         done += steps_per_call
-    history = np.concatenate(chunks)[:num_steps]
+    if done < num_steps:
+        # remainder chunk with its own (smaller) compiled runner so the
+        # returned params correspond exactly to num_steps optimizer steps
+        rem_runner = make_scan_trainer(config, train_config, task_sizes,
+                                       tuple(batch_sizes), vem=vem,
+                                       steps_per_call=num_steps - done,
+                                       mesh=mesh)
+        key, sub = jax.random.split(key)
+        state, elbos = rem_runner(state, dataset, sub)
+        chunks.append(np.asarray(elbos))
+    history = np.concatenate(chunks)
     return state.params, history
 
 
@@ -667,7 +699,8 @@ def _as_batch(X_list, Y_list, config: ModelConfig):
 # natural gradients for whitened q(u)
 # ---------------------------------------------------------------------------
 
-def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
+def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig,
+             Luu=None):
     """ELBO as a function of the whitened (mean, covariance) directly.
 
     Avoids Cholesky in the differentiated path so dELBO/dS has the clean
@@ -677,7 +710,8 @@ def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
     math), just parameterized by (m, S) via q_moments.
     """
     assert config.whiten, "natural gradients require the whitened parameterization"
-    Luu = elbo_mod.prior_cholesky(params, config)
+    if Luu is None:
+        Luu = elbo_mod.prior_cholesky(params, config)
     M = config.num_inducing
 
     ve_total = 0.0
@@ -696,7 +730,7 @@ def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig):
 
 
 def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
-                   lr: float) -> SVMOGPParams:
+                   lr: float, Luu=None) -> SVMOGPParams:
     """One natural-gradient ascent step on the whitened q(u).
 
     Natural params theta1 = S^{-1} m, theta2 = -1/2 S^{-1}; the NGD step is
@@ -709,7 +743,7 @@ def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
     m = params.q_mu
 
     g_m, g_S = jax.grad(_elbo_mS, argnums=(0, 1))(m, S, params, data, scales,
-                                                  config)
+                                                  config, Luu)
     g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
 
     M = config.num_inducing
@@ -721,8 +755,20 @@ def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
     theta1_new = theta1 + lr * d_eta1
     # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD; lr controls this)
     A = S_inv - 2.0 * lr * g_S
-    L_A = linalg.jitchol(A)
+    if config.adaptive_jitter:
+        chol = linalg.jitchol
+    else:
+        # throughput mode: the adaptive while_loop would serialize the scan
+        # pipeline (same rationale as the prior factorization); blocked
+        # form keeps the two per-step O(M^3) factorizations on the MXU.
+        # The fixed config.jitter floor matches prior_cholesky's
+        # fixed-jitter branch — dropping it would NaN on marginally
+        # indefinite A at f32 roundoff.
+        def chol(K):
+            j_eye = config.jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
+            return linalg.blocked_cholesky(K + j_eye)
+    L_A = chol(A)
     S_new = linalg.cho_solve_batched(L_A, jnp.broadcast_to(eye, S.shape))
     m_new = jnp.einsum("qmk,qk->qm", S_new, theta1_new)
-    L_new = linalg.jitchol(S_new)
+    L_new = chol(S_new)
     return params.replace(q_mu=m_new, q_sqrt=L_new)

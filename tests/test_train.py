@@ -297,10 +297,12 @@ def test_model_fit_svi_on_device():
     assert m.log_likelihood() > e0
 
 
-def test_slice_sampler_covers_all_offsets():
-    """Regression: minibatch='slice' must admit the LAST offset N-B (the
-    exclusive randint maxval previously dropped it, so the final row of
-    every task had probability zero of being sampled)."""
+def test_slice_sampler_uniform_wraparound():
+    """minibatch='slice' draws circular (wraparound) blocks at a uniform
+    offset in [0, N): every row has inclusion probability B/N, so the N/B
+    ELBO scale is unbiased.  (Regressions: plain [0, N-B) offsets gave the
+    final row probability ZERO; [0, N-B] still under-sampled the first and
+    last B-1 rows.)"""
     from hetmogp_tpu.models import elbo as elbo_mod
 
     N, B = 20, 16
@@ -309,12 +311,25 @@ def test_slice_sampler_covers_all_offsets():
     sampler = train_mod.make_batch_sampler(
         TrainConfig(minibatch="slice"), (N,), (B,))
     starts = set()
-    for i in range(200):
+    counts = np.zeros(N)
+    for i in range(400):
         (b,) = sampler(jax.random.PRNGKey(i), (td,))
-        starts.add(int(b.X[0, 0]))
-    # every offset 0..N-B admissible and (with 200 draws over 5 values)
-    # actually observed — in particular the last one
-    assert starts == set(range(N - B + 1)), starts
+        rows = np.asarray(b.X[:, 0]).astype(int)
+        start = rows[0]
+        starts.add(int(start))
+        # the batch is exactly the circular block [start, start+B) mod N
+        np.testing.assert_array_equal(rows, (start + np.arange(B)) % N)
+        counts[rows] += 1
+    assert starts == set(range(N)), starts
+    # uniform inclusion: every row sampled with frequency ~ B/N
+    freq = counts / 400.0
+    assert freq.min() > 0.5 * (B / N) and freq.max() < 1.5 * (B / N), freq
+
+    # B >= N: the whole task every step
+    sampler2 = train_mod.make_batch_sampler(
+        TrainConfig(minibatch="slice"), (N,), (N,))
+    (b2,) = sampler2(jax.random.PRNGKey(0), (td,))
+    np.testing.assert_array_equal(np.asarray(b2.X[:, 0]), np.arange(N))
 
 
 def test_adadelta_lookahead_masked_under_vem():
