@@ -447,14 +447,32 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 # fully on-device SVI (lax.scan over steps, device-resident dataset)
 # ---------------------------------------------------------------------------
 
+def extend_for_wraparound(dataset, batch_sizes):
+    """Append each task's first B_t rows so circular slices are plain
+    dynamic slices.  Called ONCE per scan-trainer invocation (outside the
+    step loop) so the concatenation is guaranteed loop-invariant."""
+    out = []
+    for td, bt in zip(dataset, batch_sizes):
+        bt = min(bt, td.X.shape[0])
+        out.append(elbo_mod.TaskData(
+            X=jnp.concatenate([td.X, td.X[:bt]], axis=0),
+            Y=jnp.concatenate([td.Y, td.Y[:bt]], axis=0),
+            mask=jnp.concatenate([td.mask, td.mask[:bt]], axis=0)))
+    return tuple(out)
+
+
 @functools.lru_cache(maxsize=64)
 def make_batch_sampler(train_config: TrainConfig, task_sizes, batch_sizes,
-                       mesh=None):
+                       mesh=None, pre_extended: bool = False):
     """Build sample_batch(key, dataset) -> tuple[TaskData] for the on-device
-    scan trainer.  minibatch="slice" draws a contiguous block at a uniform
-    random offset in [0, N_t - B_t] (ALL offsets admissible, including the
-    last); otherwise a uniform with-replacement row gather.  With a mesh,
-    batches are re-sharded over the data axis after the gather."""
+    scan trainer.  minibatch="slice" draws a contiguous circular block at a
+    uniform random offset in [0, N_t) — every row has inclusion probability
+    B/N; otherwise a uniform with-replacement row gather.  With a mesh,
+    batches are re-sharded over the data axis after the gather.
+
+    pre_extended: the dataset was already passed through
+    ``extend_for_wraparound`` (the scan trainer does this once per run so
+    the wraparound concatenation never sits inside the step loop)."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -475,12 +493,18 @@ def make_batch_sampler(train_config: TrainConfig, task_sizes, batch_sizes,
                 # last B-1 rows of each task)
                 nt, bt = task_sizes[t], batch_sizes[t]
                 if bt >= nt:  # whole (possibly padded) task every step
-                    X, Y, m = td.X, td.Y, td.mask
+                    if pre_extended:
+                        X, Y, m = td.X[:nt], td.Y[:nt], td.mask[:nt]
+                    else:
+                        X, Y, m = td.X, td.Y, td.mask
                 else:
                     off = jax.random.randint(keys[t], (), 0, nt)
-                    Xe = jnp.concatenate([td.X, td.X[:bt]], axis=0)
-                    Ye = jnp.concatenate([td.Y, td.Y[:bt]], axis=0)
-                    me = jnp.concatenate([td.mask, td.mask[:bt]], axis=0)
+                    if pre_extended:
+                        Xe, Ye, me = td.X, td.Y, td.mask
+                    else:
+                        Xe = jnp.concatenate([td.X, td.X[:bt]], axis=0)
+                        Ye = jnp.concatenate([td.Y, td.Y[:bt]], axis=0)
+                        me = jnp.concatenate([td.mask, td.mask[:bt]], axis=0)
                     X = jax.lax.dynamic_slice_in_dim(Xe, off, bt, 0)
                     Y = jax.lax.dynamic_slice_in_dim(Ye, off, bt, 0)
                     m = jax.lax.dynamic_slice_in_dim(me, off, bt, 0)
@@ -523,10 +547,15 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
     """
     body_step = make_svi_step_body(config, train_config, vem=vem)
     scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
+    slice_mode = train_config.minibatch == "slice"
     sample_batch = make_batch_sampler(train_config, task_sizes, batch_sizes,
-                                      mesh=mesh)
+                                      mesh=mesh, pre_extended=slice_mode)
 
     def run(state: TrainState, dataset, key):
+        if slice_mode:
+            # one concatenation per run call, guaranteed outside the scan
+            dataset = extend_for_wraparound(dataset, batch_sizes)
+
         def body(carry, _):
             state, key = carry
             key, sub = jax.random.split(key)
