@@ -74,8 +74,8 @@ def main():
     # ---- prediction over the gap (demo.ipynb cells 9-10) ----------------
     Xtest = X2[351:450]
     Ytest = Y2[351:450]
-    nlpd = model.negative_log_predictive([X1[:1], Xtest],
-                                         [Y1[:1], Ytest], num_samples=500)
+    nlpd = model.negative_log_predictive([Xtest], [Ytest],
+                                         num_samples=500, tasks=[1])
     print(f"NLPD over the missing gap: {nlpd:.4f}")
 
     if args.plot:

@@ -60,17 +60,28 @@ def main():
                          rng.rand(args.m, Dx).astype(np.float32),
                          lengthscale=0.2, variance=0.5, q_mu_scale=0.1)
 
+    # data-parallel mesh when more than one chip is visible
+    mesh = None
+    if jax.device_count() > 1:
+        from hetmogp_tpu.parallel import sharding
+
+        mesh = sharding.data_mesh(jax.devices())
+
     # warmup chunk so the reported rate is steady-state, not compile time
+    # (same batch size as the timed run — the runner cache is keyed on it)
     params, _ = train_mod.svi_fit_on_device(
-        params, cfg, tc, X_list, Y_list, batch_sizes=512, num_steps=100,
-        key=jax.random.PRNGKey(9))
+        params, cfg, tc, X_list, Y_list, batch_sizes=args.batch,
+        num_steps=100, key=jax.random.PRNGKey(9), steps_per_call=100,
+        mesh=mesh)
     t0 = time.perf_counter()
     params, hist = train_mod.svi_fit_on_device(
         params, cfg, tc, X_list, Y_list, batch_sizes=args.batch,
-        num_steps=args.steps, key=jax.random.PRNGKey(1), steps_per_call=100)
+        num_steps=args.steps, key=jax.random.PRNGKey(1), steps_per_call=100,
+        mesh=mesh)
     dt = time.perf_counter() - t0
+    ndev = jax.device_count() if mesh is not None else 1
     print(f"{args.steps} steps in {dt:.1f}s = {args.steps / dt:.1f} steps/s "
-          f"on {jax.device_count()} {jax.default_backend()} device(s)")
+          f"on {ndev} {jax.default_backend()} device(s)")
     print(f"ELBO: {hist[0]:.0f} -> {hist[-1]:.0f}")
 
 

@@ -299,22 +299,35 @@ def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence,
 def negative_log_predictive(params: SVMOGPParams, config: ModelConfig,
                             key, Xtest: Sequence, Ytest: Sequence,
                             num_samples: int = 1000,
-                            reference_scaling: bool = True):
+                            reference_scaling: bool = True,
+                            tasks: Optional[Sequence[int]] = None):
     """Test NLPD via per-task Monte-Carlo logsumexp.
 
     Reference ``negative_log_predictive`` (svmogp.py:353-370 →
     het_likelihood.py:150-164), including its 1/num_samples scaling quirk.
+
+    tasks: optional task indices to evaluate (Xtest/Ytest aligned to this
+    list) — e.g. ``tasks=[1]`` scores only task 1's held-out region
+    without dummy inputs for the other tasks.
     """
-    moments = predict_f_all(params, config, Xtest)
-    keys = jax.random.split(key, config.num_tasks)
+    tasks = list(range(config.num_tasks)) if tasks is None else list(tasks)
+    if len(Xtest) != len(tasks) or len(Ytest) != len(tasks):
+        raise ValueError(
+            f"Xtest/Ytest must have one entry per evaluated task "
+            f"({len(tasks)}: tasks={tasks}); got {len(Xtest)}/{len(Ytest)}. "
+            "Pass tasks=[...] to score a subset of tasks.")
+    f = _jitted_task_moments(config)
+    keys = jax.random.split(key, len(tasks))
     total = 0.0
-    for t, (lik, (m_F, v_F)) in enumerate(zip(config.likelihoods, moments)):
-        Y_t = jnp.asarray(Ytest[t], config.np_dtype)
+    for i, t in enumerate(tasks):
+        lik = config.likelihoods[t]
+        m_F, v_F = f(params, _as_inputs(Xtest[i], config), t)
+        Y_t = jnp.asarray(Ytest[i], config.np_dtype)
         if Y_t.ndim == 1:
             Y_t = Y_t[:, None]
         total = total + _jitted_log_predictive(lik, num_samples,
                                                reference_scaling)(
-            keys[t], Y_t, m_F, v_F)
+            keys[i], Y_t, m_F, v_F)
     return -total
 
 

@@ -188,11 +188,12 @@ class SVMOGP:
                                       projected=projected)
 
     def negative_log_predictive(self, Xtest, Ytest, num_samples: int = 1000,
-                                key=None, reference_scaling: bool = True):
+                                key=None, reference_scaling: bool = True,
+                                tasks=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         return float(predict_mod.negative_log_predictive(
             self.params, self.config, key, Xtest, Ytest, num_samples,
-            reference_scaling=reference_scaling))
+            reference_scaling=reference_scaling, tasks=tasks))
 
     # ---- plotting (reference svmogp.py:372-469) --------------------------
     def plot_u(self, dim: int = 0, num_points: int = 200, ax=None,

@@ -528,6 +528,7 @@ def make_batch_sampler(train_config: TrainConfig, task_sizes, batch_sizes,
     return sample_batch
 
 
+@functools.lru_cache(maxsize=64)
 def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                       task_sizes: Tuple[int, ...], batch_sizes: Tuple[int, ...],
                       vem: bool = True, steps_per_call: int = 100,

@@ -55,9 +55,13 @@ def test_demo_workload_end_to_end():
     assert ((np.asarray(mp[1]) > 0) & (np.asarray(mp[1]) < 1)).all()
 
     # NLPD on held-out gap beats a coin-flip/unit-Gaussian reference
+    # tasks=[1]: score ONLY the Bernoulli task's held-out gap (the old
+    # API silently zipped a 1-entry list against task 0 — now an error
+    # unless the evaluated tasks are named)
     nlpd = model.negative_log_predictive([Xg], [Yg[: len(Xg)]],
                                          num_samples=256,
-                                         key=jax.random.PRNGKey(9))
+                                         key=jax.random.PRNGKey(9),
+                                         tasks=[1])
     assert np.isfinite(nlpd)
 
     # latent-function predictive bands widen inside the task-2 gap
