@@ -241,3 +241,39 @@ def test_model_parallel_rank2_coregionalization():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
+
+
+def test_sharded_scan_trainer_slice_mode():
+    """minibatch='slice' (wraparound blocks) over the data mesh: the
+    in-jit extension concatenates row-sharded arrays — must compile,
+    execute, and stay finite."""
+    rng = np.random.RandomState(6)
+    n, M, Q = 64, 8, 2
+    liks = (L.HetGaussian(), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64")
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    tc = TrainConfig(optimizer="adam", step_rate=0.02, minibatch="slice")
+    from hetmogp_tpu.data import full_batch as fb
+    dataset, _ = fb(X_list, Y_list, dtype=cfg.np_dtype, pad_multiple=8)
+    opt = train_mod.make_optimizer(tc)
+
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    run = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32), vem=True,
+                                      steps_per_call=8, mesh=mesh)
+    # copy before the first run: the runners donate their input state
+    params2 = jax.tree_util.tree_map(jnp.array, params)
+    s0 = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    s1, e1 = run(s0, sharding.shard_batch(mesh, dataset),
+                 jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(e1)).all()
+    # same-key unsharded trajectory agrees
+    run_p = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32), vem=True,
+                                        steps_per_call=8)
+    s2, e2 = run_p(train_mod.init_train_state(params2, cfg, opt,
+                                              cache_luu=True),
+                   jax.device_put(dataset), jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-10)
