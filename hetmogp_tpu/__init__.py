@@ -38,7 +38,8 @@ from hetmogp_tpu.likelihoods import (
     Poisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
-from hetmogp_tpu.train import svi_fit, svi_fit_on_device, vem_algorithm
+from hetmogp_tpu.train import (print_callback, svi_fit,
+                               svi_fit_on_device, vem_algorithm)
 from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
 from hetmogp_tpu.data import MinibatchStream, batch_scales
 
@@ -58,6 +59,7 @@ __all__ = [
     "Dirichlet",
     "HetLikelihood",
     "SVMOGP",
+    "print_callback",
     "SVMOGPParams",
     "build_elbo",
     "init_params",
