@@ -8,23 +8,83 @@ visible).  The training loop is the fully on-device scan trainer
 grad, and optimizer update all inside one XLA program.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N/100}
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N/100,
+   "tflops_per_sec": ..., "mfu": ..., "attempts": k}
+
+Resilience: the workload always runs in a fresh subprocess supervised by
+this script.  Transient TPU backend failures (libtpu client/runtime version
+skew surfacing as FAILED_PRECONDITION — this killed the round-1 multichip
+and round-2 bench driver artifacts despite the code being healthy) are
+retried up to HETMOGP_BENCH_ATTEMPTS (default 3) times; retries bypass the
+persistent XLA compile cache (stale AOT executables from a newer libtpu are
+the prime suspect) by pointing JAX_COMPILATION_CACHE_DIR at a fresh temp
+dir.  On final failure a VALID JSON line with "value": null and an "error"
+field is still printed, so the recorded artifact always parses.
+
+Modes:
+  python bench.py              flagship N=1e6/M=1024/Q=4 workload
+  python bench.py --sweep-m    M-scaling sweep (M=512/1024/2048), one JSON
+                               line per point (secondary artifact)
+  python bench.py --mesh       virtual-CPU mesh plumbing check
+  HETMOGP_BENCH_QUICK=1        small workload, under its OWN metric name
+  HETMOGP_BENCH_TINY=1         minutes-scale CPU workload (chaos test)
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+# v5e peak is the bf16 MXU peak; the train step's hot matmuls run in f32
+# with HIGHEST precision (multiple bf16 passes), so MFU vs this peak is a
+# conservative, honest utilization number.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def main():
+
+def _workload_params():
+    """(metric_name, shapes) for the selected workload tier."""
+    if os.environ.get("HETMOGP_BENCH_TINY", "") not in ("", "0"):
+        # chaos-test tier: small enough to run on the CPU test host
+        return ("svi_steps_per_sec_tiny", dict(
+            N_per=2_000, M=32, Q=2, B=64, steps_per_call=5, calls=2))
+    if os.environ.get("HETMOGP_BENCH_QUICK", "") not in ("", "0"):
+        # NOTE: deliberately a different metric name — quick mode is a
+        # different workload and must never masquerade as the flagship
+        return ("svi_steps_per_sec_quick_N6e4_M128_Q2_6lik", dict(
+            N_per=10_000, M=128, Q=2, B=256, steps_per_call=20, calls=2))
+    return ("svi_steps_per_sec_N1e6_M1024_Q4_6lik", dict(
+        N_per=1_000_000 // 6, M=1024, Q=4, B=512, steps_per_call=100,
+        calls=5))
+
+
+def _flops_of(runner, *args):
+    """XLA-analyzed FLOPs of the compiled program (None if unavailable)."""
+    try:
+        ca = runner.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:  # noqa: BLE001 - accounting must never kill a run
+        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def run_workload(metric, N_per, M, Q, B, steps_per_call, calls):
+    """Run the scan-trainer workload; returns the result dict."""
     import jax
-
-    quick = os.environ.get("HETMOGP_BENCH_QUICK", "") not in ("", "0")
-
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401 - ensures full jax init
 
     from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
                              HetGaussian, ModelConfig, Poisson, TrainConfig)
@@ -36,10 +96,6 @@ def main():
     liks = (HetGaussian(), Bernoulli(), Categorical(K=3), Poisson(), Gamma(),
             Exponential())
     T = len(liks)
-    if quick:
-        N_per, M, Q, B, steps_per_call, calls = 10_000, 128, 2, 256, 20, 2
-    else:
-        N_per, M, Q, B, steps_per_call, calls = 1_000_000 // T, 1024, 4, 512, 100, 5
 
     rng = np.random.RandomState(0)
     # 2-D inputs: with M=1024 a 1-D linspace Z makes Kuu numerically singular
@@ -84,6 +140,9 @@ def main():
                              fast_projection=tc.fast_projection)
     key = jax.random.PRNGKey(1)
 
+    # FLOP accounting must lower BEFORE the first call donates the state
+    total_flops = _flops_of(runner, state, dataset, key)
+
     # warmup / compile
     key, sub = jax.random.split(key)
     state, elbos = runner(state, dataset, sub)
@@ -104,16 +163,116 @@ def main():
 
     steps_per_sec = float(np.median(rates))
     final_elbo = float(np.asarray(last)[-1])
+    if not np.isfinite(final_elbo):
+        raise RuntimeError(f"non-finite ELBO at bench end: {final_elbo}")
     result = {
-        "metric": "svi_steps_per_sec_N1e6_M1024_Q4_6lik",
+        "metric": metric,
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 100.0, 4),
     }
-    print(json.dumps(result))
+    if total_flops is not None:
+        flops_per_step = total_flops / steps_per_call
+        tflops = flops_per_step * steps_per_sec / 1e12
+        result["flops_per_step"] = round(flops_per_step)
+        result["tflops_per_sec"] = round(tflops, 2)
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_FLOPS.get(kind)
+        if peak is not None:
+            result["mfu"] = round(flops_per_step * steps_per_sec / peak, 4)
+            result["mfu_peak"] = f"{kind} bf16 {peak / 1e12:.0f} TFLOP/s"
     print(f"# devices={jax.device_count()} backend={jax.default_backend()} "
-          f"final_elbo={final_elbo:.1f} quick={quick} "
+          f"final_elbo={final_elbo:.1f} "
           f"per_call={[round(r, 1) for r in rates]}", file=sys.stderr)
+    return result
+
+
+def worker(argv):
+    if "--inject-fail" in argv:
+        # chaos-test hook: simulate the transient backend failure class
+        raise RuntimeError("injected failure (bench chaos test)")
+    if os.environ.get("HETMOGP_BENCH_TINY", "") not in ("", "0"):
+        # the chaos test runs on the CI host — force CPU before backend init
+        from hetmogp_tpu.parallel.sharding import force_virtual_cpu
+        force_virtual_cpu(1)
+    if "--mesh" in argv:
+        main_mesh()
+        return
+    if "--sweep-m" in argv:
+        # M-scaling sweep (VERDICT r2 #6): quick-sized call counts, one
+        # JSON line per point under per-M metric names
+        for M in (512, 1024, 2048):
+            res = run_workload(f"svi_steps_per_sec_sweep_M{M}",
+                               N_per=1_000_000 // 6, M=M, Q=4, B=512,
+                               steps_per_call=50, calls=3)
+            print(json.dumps(res))
+        return
+    metric, shapes = _workload_params()
+    print(json.dumps(run_workload(metric, **shapes)))
+
+
+def supervise(argv) -> int:
+    """Run the workload in a fresh subprocess with bounded retries.
+
+    Returns the exit code: 0 if any attempt succeeded, 1 otherwise (the
+    final-failure JSON line is printed either way so the artifact parses).
+    """
+    attempts = int(os.environ.get("HETMOGP_BENCH_ATTEMPTS", "3"))
+    inject = int(os.environ.get("HETMOGP_BENCH_INJECT_FAIL", "0"))
+    timeout_s = float(os.environ.get("HETMOGP_BENCH_TIMEOUT", "2400"))
+    errors = []
+    for i in range(attempts):
+        env = os.environ.copy()
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + argv
+        if i < inject:
+            cmd.append("--inject-fail")
+        if i > 0:
+            # bypass the persistent compile cache: stale AOT executables
+            # compiled under an older libtpu are the prime suspect for the
+            # FAILED_PRECONDITION failures that ate two driver artifacts
+            fresh = tempfile.mkdtemp(prefix="hetmogp_bench_cache_")
+            env["JAX_COMPILATION_CACHE_DIR"] = fresh
+            env["HETMOGP_JAX_CACHE"] = fresh
+            print(f"# bench attempt {i + 1}/{attempts}: retrying in a fresh "
+                  f"process with a fresh compile cache ({fresh})",
+                  file=sys.stderr)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {i + 1}: timeout after {timeout_s:.0f}s")
+            continue
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0:
+            emitted = False
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    rec["attempts"] = i + 1
+                    print(json.dumps(rec))
+                    emitted = True
+                elif line:
+                    print(line)
+            if emitted:
+                return 0
+            errors.append(f"attempt {i + 1}: rc=0 but no JSON on stdout")
+        else:
+            tail = [ln for ln in proc.stderr.strip().splitlines() if ln]
+            errors.append(f"attempt {i + 1}: rc={proc.returncode}: "
+                          + (tail[-1][-300:] if tail else "<no stderr>"))
+    if "--mesh" in argv:
+        metric = "mesh_scaling_overhead_virtual_cpu"
+    elif "--sweep-m" in argv:
+        metric = "svi_steps_per_sec_sweep"
+    else:
+        metric = _workload_params()[0]
+    print(json.dumps({
+        "metric": metric, "value": None, "unit": "steps/sec",
+        "vs_baseline": None, "attempts": attempts,
+        "error": " | ".join(errors),
+    }))
+    return 1
 
 
 def main_mesh(n_devices: int = 8):
@@ -192,7 +351,8 @@ def main_mesh(n_devices: int = 8):
 
 
 if __name__ == "__main__":
-    if "--mesh" in sys.argv:
-        main_mesh()
+    argv = sys.argv[1:]
+    if "--worker" in argv:
+        worker([a for a in argv if a != "--worker"])
     else:
-        main()
+        sys.exit(supervise(argv))

@@ -35,6 +35,10 @@ def save_checkpoint(path, params: SVMOGPParams, opt_state: Any = None,
     through ``rng_key`` (stored as an array) so mid-training resume can
     continue the minibatch/MC sampling stream.
     """
+    if extra and "rng_key" in extra:
+        raise ValueError(
+            "extra['rng_key'] is reserved: pass the training key via the "
+            "rng_key kwarg (load_checkpoint returns it as extra['rng_key'])")
     path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}

@@ -126,11 +126,16 @@ def state_shardings(mesh: Mesh, state) -> Any:
     if not has_latent_axis(mesh):
         return jax.tree_util.tree_map(lambda _: rep, state)
     n_latent = int(np.shape(state.params.q_mu)[0])
+    k = mesh.shape["latent"]
 
     def spec(node):
         if isinstance(node, SVMOGPParams):
             return param_shardings(mesh, node)
-        if np.ndim(node) >= 1 and np.shape(node)[0] == n_latent:
+        # same divisibility guard as param_shardings: a latent-axis size
+        # that does not divide the leading dim falls back to replication
+        # instead of failing at device_put/jit
+        if (np.ndim(node) >= 1 and np.shape(node)[0] == n_latent
+                and n_latent % k == 0):
             return _latent_spec(mesh, node)
         return rep
 

@@ -316,11 +316,17 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                                    sg(state.iLuu) if fastp else None)
 
                 if use_natgrad:
-                    # NGD owns q on VE steps and the VE mask zeroes every
-                    # other leaf, so the whole adam gradient is dead —
-                    # compute only the ELBO value for the metrics
-                    v, aux = loss_q(p.q_mu, p.q_sqrt)
-                    return (v, aux), zeros
+                    # fused NGD step: ONE forward+backward through the
+                    # (m, S)-parameterized VE term yields metrics AND the
+                    # natural-gradient update (no separate value-only
+                    # forward; no adam gradient — the VE mask zeroes every
+                    # other leaf anyway).  Carries the q-update out through
+                    # the cond so the VM branch stays symmetric.
+                    new_p, e, aux = natgrad_ve_step(
+                        p, data, scales, config, train_config.natgrad_lr,
+                        Luu=sg(state.Luu),
+                        iLuu=sg(state.iLuu) if fastp else None)
+                    return (-e, aux), zeros, (new_p.q_mu, new_p.q_sqrt)
                 (v, aux), g = jax.value_and_grad(
                     loss_q, argnums=(0, 1), has_aux=True)(p.q_mu, p.q_sqrt)
                 return (v, aux), zeros.replace(q_mu=g[0], q_sqrt=g[1])
@@ -347,13 +353,21 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                              kappa=p.kappa)
                 (v, aux), g = jax.value_and_grad(
                     loss_h, has_aux=True)(hyper)
-                return (v, aux), zeros.replace(**g)
+                out = ((v, aux), zeros.replace(**g))
+                if use_natgrad:
+                    out = out + ((p.q_mu, p.q_sqrt),)
+                return out
 
-            (neg_elbo, aux), grads = jax.lax.cond(is_ve, ve_branch,
-                                                  vm_branch, grad_point)
+            cond_out = jax.lax.cond(is_ve, ve_branch, vm_branch, grad_point)
+            if use_natgrad:
+                (neg_elbo, aux), grads, q_new = cond_out
+            else:
+                (neg_elbo, aux), grads = cond_out
+                q_new = None
         else:
             (neg_elbo, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(grad_point, data, scales)
+            q_new = None
         grads = _apply_mask(grads, mask)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         # mask the updates too: momentum optimizers would otherwise keep
@@ -363,23 +377,25 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         updates = _apply_mask(updates, mask)
         params = optax.apply_updates(params, updates)
         if use_natgrad:
-            # NGD runs only on VE steps under VEM — as a lax.cond branch so
-            # the VM steps skip its full forward+backward and three
-            # O(Q M^3) factorizations entirely (jnp.where would evaluate
-            # both sides under jit).  On VE steps hypers/Z are frozen, so
-            # the cached prior Cholesky is exact and threads through.
-            ng_luu = (jax.lax.stop_gradient(state.Luu)
-                      if use_cache else None)
-
-            def ng(p):
-                return natgrad_update(p, data, scales, config,
-                                      train_config.natgrad_lr, Luu=ng_luu)
-
-            if vem:
-                do_ng = (state.step % cycle) < train_config.ve_steps_per_vm
-                params = jax.lax.cond(do_ng, ng, lambda p: p, params)
+            if q_new is not None:
+                # cached-VEM path: the fused NGD update was computed inside
+                # ve_branch (shared forward+backward); VM steps pass the
+                # unchanged q through, so this replace is a no-op there
+                params = params.replace(q_mu=q_new[0], q_sqrt=q_new[1])
             else:
-                params = ng(params)
+                # uncached path: NGD runs only on VE steps under VEM — as a
+                # lax.cond branch so the VM steps skip its forward+backward
+                # and O(Q M^3) factorizations entirely (jnp.where would
+                # evaluate both sides under jit)
+                def ng(p):
+                    return natgrad_update(p, data, scales, config,
+                                          train_config.natgrad_lr)
+
+                if vem:
+                    do_ng = (state.step % cycle) < train_config.ve_steps_per_vm
+                    params = jax.lax.cond(do_ng, ng, lambda p: p, params)
+                else:
+                    params = ng(params)
         if use_cache:
             # refresh the cache after VM steps (hypers/Z moved)
             def keep(p):
@@ -447,17 +463,27 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
 # fully on-device SVI (lax.scan over steps, device-resident dataset)
 # ---------------------------------------------------------------------------
 
-def extend_for_wraparound(dataset, batch_sizes):
-    """Append each task's first B_t rows so circular slices are plain
+def extend_for_wraparound(dataset, batch_sizes, task_sizes=None):
+    """Append each task's first B_t REAL rows so circular slices are plain
     dynamic slices.  Called ONCE per scan-trainer invocation (outside the
-    step loop) so the concatenation is guaranteed loop-invariant."""
+    step loop) so the concatenation is guaranteed loop-invariant.
+
+    task_sizes: the per-task REAL row counts.  When the dataset carries
+    padding rows (``full_batch(pad_multiple=k)``, mask 0 beyond N_t), the
+    extension must sit at index N_t — appending after the padding would make
+    slices that cross N_t pick mask-0 padding rows instead of the wrapped
+    first rows, re-introducing the boundary under-sampling bias.  The
+    padding rows are dropped here: samplers only ever slice offsets in
+    [0, N_t), so they are unreachable anyway."""
     out = []
-    for td, bt in zip(dataset, batch_sizes):
-        bt = min(bt, td.X.shape[0])
+    if task_sizes is None:
+        task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
+    for td, bt, nt in zip(dataset, batch_sizes, task_sizes):
+        bt = min(bt, nt)
         out.append(elbo_mod.TaskData(
-            X=jnp.concatenate([td.X, td.X[:bt]], axis=0),
-            Y=jnp.concatenate([td.Y, td.Y[:bt]], axis=0),
-            mask=jnp.concatenate([td.mask, td.mask[:bt]], axis=0)))
+            X=jnp.concatenate([td.X[:nt], td.X[:bt]], axis=0),
+            Y=jnp.concatenate([td.Y[:nt], td.Y[:bt]], axis=0),
+            mask=jnp.concatenate([td.mask[:nt], td.mask[:bt]], axis=0)))
     return tuple(out)
 
 
@@ -547,15 +573,24 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
     carry mask 0 and are never sampled because sampling is over [0, N_t)).
     """
     body_step = make_svi_step_body(config, train_config, vem=vem)
-    scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, batch_sizes)])
     slice_mode = train_config.minibatch == "slice"
+    # ELBO scale N/B uses the EFFECTIVE batch size: in slice mode a task with
+    # B_t >= N_t is returned whole (N_t rows) every step, so its scale is 1,
+    # not N_t/B_t < 1 (which would under-weight that task's VE term against
+    # the KL).  Gather mode samples with replacement, so B_t > N_t stays an
+    # unbiased B_t-row estimate with scale N_t/B_t.
+    if slice_mode:
+        eff_sizes = tuple(min(b, n) for n, b in zip(task_sizes, batch_sizes))
+    else:
+        eff_sizes = batch_sizes
+    scales = jnp.asarray([n / float(b) for n, b in zip(task_sizes, eff_sizes)])
     sample_batch = make_batch_sampler(train_config, task_sizes, batch_sizes,
                                       mesh=mesh, pre_extended=slice_mode)
 
     def run(state: TrainState, dataset, key):
         if slice_mode:
             # one concatenation per run call, guaranteed outside the scan
-            dataset = extend_for_wraparound(dataset, batch_sizes)
+            dataset = extend_for_wraparound(dataset, batch_sizes, task_sizes)
 
         def body(carry, _):
             state, key = carry
@@ -604,8 +639,14 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     if isinstance(batch_sizes, int):
         batch_sizes = tuple([batch_sizes] * len(X_list))
     key = key if key is not None else jax.random.PRNGKey(train_config.seed)
-    dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype)
-    task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
+    # pad each task's rows to the data-axis size so the full dataset shards
+    # evenly; task_sizes stay the REAL counts (samplers draw in [0, N_t) and
+    # the wraparound extension is inserted at N_t, so padding rows are
+    # never sampled)
+    pad = int(mesh.shape["data"]) if mesh is not None else 1
+    dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype,
+                            pad_multiple=pad)
+    task_sizes = tuple(int(np.shape(x)[0]) for x in X_list)
     runner = make_scan_trainer(config, train_config, task_sizes,
                                tuple(batch_sizes), vem=vem,
                                steps_per_call=steps_per_call, mesh=mesh)
@@ -639,7 +680,7 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
         key, sub = jax.random.split(key)
         state, elbos = rem_runner(state, dataset, sub)
         chunks.append(np.asarray(elbos))
-    history = np.concatenate(chunks)
+    history = np.concatenate(chunks) if chunks else np.zeros((0,))
     return state.params, history
 
 
@@ -729,76 +770,96 @@ def _as_batch(X_list, Y_list, config: ModelConfig):
 # natural gradients for whitened q(u)
 # ---------------------------------------------------------------------------
 
-def _elbo_mS(m, S, params: SVMOGPParams, data, scales, config: ModelConfig,
-             Luu=None):
-    """ELBO as a function of the whitened (mean, covariance) directly.
+def _natgrad_chol(config: ModelConfig):
+    if config.adaptive_jitter:
+        return linalg.jitchol
 
-    Avoids Cholesky in the differentiated path so dELBO/dS has the clean
-    symmetric form needed for natural-parameter updates: variance terms are
-    linear in S; the KL uses slogdet (whose gradient is S^{-1}).  The
-    projection algebra is the shared elbo.task_qf_moments (one copy of the
-    math), just parameterized by (m, S) via q_moments.
-    """
-    assert config.whiten, "natural gradients require the whitened parameterization"
-    if Luu is None:
-        Luu = elbo_mod.prior_cholesky(params, config)
-    M = config.num_inducing
+    # throughput mode: the adaptive while_loop would serialize the scan
+    # pipeline (same rationale as the prior factorization); blocked
+    # form keeps the per-step O(M^3) factorizations on the MXU.
+    # The fixed config.jitter floor matches prior_cholesky's
+    # fixed-jitter branch — dropping it would NaN on marginally
+    # indefinite operands at f32 roundoff.
+    def chol(K):
+        j_eye = config.jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
+        return linalg.blocked_cholesky(K + j_eye)
 
-    ve_total = 0.0
-    for t, lik in enumerate(config.likelihoods):
-        X_t, Y_t, mask_t = data[t]
-        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X_t, t,
-                                            q_moments=(m, S), var_floor=1e-12)
-        ve = lik.var_exp(Y_t, m_F, v_F)
-        ve_total = ve_total + scales[t] * jnp.sum(ve * mask_t)
-
-    _, logdet = jnp.linalg.slogdet(S)
-    tr = jnp.trace(S, axis1=-2, axis2=-1)
-    mah = jnp.sum(jnp.square(m), axis=-1)
-    kl = jnp.sum(0.5 * (tr + mah - M - logdet))
-    return ve_total - kl
+    return chol
 
 
-def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
-                   lr: float, Luu=None) -> SVMOGPParams:
-    """One natural-gradient ascent step on the whitened q(u).
+def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
+                    lr: float, Luu=None, iLuu=None):
+    """Fused natural-gradient VE step on the whitened q(u).
+
+    Returns (new_params, elbo, aux) — ONE forward+backward through the
+    (m, S)-parameterized VE term serves both the step's metrics and the NGD
+    update (the round-2 path ran a value-only ELBO forward for metrics PLUS
+    natgrad_update's own forward/backward: duplicated projection work in
+    every VE step).
 
     Natural params theta1 = S^{-1} m, theta2 = -1/2 S^{-1}; the NGD step is
     theta <- theta + lr * dELBO/d(expectation params), with
     d/d-eta1 = dm - 2 dS m and d/d-eta2 = dS  (Salimbeni et al., 2018).
     With a conjugate (Gaussian) likelihood and lr=1 this is exact CAVI.
+
+    TPU-shaped linear algebra: only the VE term goes through autodiff.  The
+    whitened KL and its (m, S)-gradients are analytic — dKL/dS =
+    0.5 (I - S^{-1}) — so the hot path has no slogdet LU (forward or
+    backward), and every inverse is a blocked triangular inverse applied as
+    a HIGHEST-precision MXU matmul (same design as the VE fast-projection
+    path) instead of TPU-hostile triangular solves.
     """
+    assert config.whiten, "natural gradients require the whitened parameterization"
+    hi = jax.lax.Precision.HIGHEST
     Lq = jnp.tril(params.q_sqrt)
-    S = Lq @ jnp.swapaxes(Lq, -1, -2)
     m = params.q_mu
+    S = jnp.matmul(Lq, jnp.swapaxes(Lq, -1, -2), precision=hi)
+    if Luu is None:
+        Luu = elbo_mod.prior_cholesky(params, config)
 
-    g_m, g_S = jax.grad(_elbo_mS, argnums=(0, 1))(m, S, params, data, scales,
-                                                  config, Luu)
-    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
+    def ve_fn(m_, S_):
+        ve_sums = []
+        for t, lik in enumerate(config.likelihoods):
+            X_t, Y_t, mask_t = data[t]
+            m_F, v_F = elbo_mod.task_qf_moments(
+                params, config, Luu, X_t, t, iLuu=iLuu,
+                q_moments=(m_, S_), var_floor=1e-12)
+            ve = lik.var_exp(Y_t, m_F, v_F)
+            ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
+        return functools.reduce(jnp.add, ve_sums), jnp.stack(ve_sums)
 
-    M = config.num_inducing
-    eye = jnp.eye(M, dtype=S.dtype)
-    S_inv = linalg.cho_solve_batched(Lq, jnp.broadcast_to(eye, S.shape))
+    (ve_total, ve_sums), (g_m_ve, g_S_ve) = jax.value_and_grad(
+        ve_fn, argnums=(0, 1), has_aux=True)(m, S)
+
+    Mi = config.num_inducing
+    eye = jnp.eye(Mi, dtype=S.dtype)
+    iLq = linalg.rec_tri_inverse(Lq)
+    S_inv = jnp.einsum("qkm,qkn->qmn", iLq, iLq, precision=hi)
+    # whitened KL = 0.5 (tr S + |m|^2 - M - logdet S), analytic gradients
+    kl = jnp.sum(0.5 * (jnp.trace(S, axis1=-2, axis2=-1)
+                        + jnp.sum(jnp.square(m), axis=-1)
+                        - Mi - linalg.logdet_from_chol(Lq)))
+    g_m = g_m_ve - m
+    g_S = (0.5 * (g_S_ve + jnp.swapaxes(g_S_ve, -1, -2))
+           + 0.5 * (S_inv - eye))
+
     theta1 = jnp.einsum("qmk,qk->qm", S_inv, m)
-
     d_eta1 = g_m - 2.0 * jnp.einsum("qmk,qk->qm", g_S, m)
     theta1_new = theta1 + lr * d_eta1
     # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD; lr controls this)
     A = S_inv - 2.0 * lr * g_S
-    if config.adaptive_jitter:
-        chol = linalg.jitchol
-    else:
-        # throughput mode: the adaptive while_loop would serialize the scan
-        # pipeline (same rationale as the prior factorization); blocked
-        # form keeps the two per-step O(M^3) factorizations on the MXU.
-        # The fixed config.jitter floor matches prior_cholesky's
-        # fixed-jitter branch — dropping it would NaN on marginally
-        # indefinite A at f32 roundoff.
-        def chol(K):
-            j_eye = config.jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
-            return linalg.blocked_cholesky(K + j_eye)
+    chol = _natgrad_chol(config)
     L_A = chol(A)
-    S_new = linalg.cho_solve_batched(L_A, jnp.broadcast_to(eye, S.shape))
+    iL_A = linalg.rec_tri_inverse(L_A)
+    S_new = jnp.einsum("qkm,qkn->qmn", iL_A, iL_A, precision=hi)  # A^{-1}
     m_new = jnp.einsum("qmk,qk->qm", S_new, theta1_new)
     L_new = chol(S_new)
-    return params.replace(q_mu=m_new, q_sqrt=L_new)
+    new_params = params.replace(q_mu=m_new, q_sqrt=L_new)
+    return new_params, ve_total - kl, {"ve": ve_sums, "kl": kl}
+
+
+def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
+                   lr: float, Luu=None) -> SVMOGPParams:
+    """One natural-gradient ascent step on the whitened q(u); see
+    natgrad_ve_step (this discards the fused ELBO value/aux)."""
+    return natgrad_ve_step(params, data, scales, config, lr, Luu=Luu)[0]

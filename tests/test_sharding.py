@@ -277,3 +277,30 @@ def test_sharded_scan_trainer_slice_mode():
                                               cache_luu=True),
                    jax.device_put(dataset), jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-10)
+
+def test_state_shardings_nondivisible_latent_replicates():
+    """Regression (round-2 advice): a latent axis that does not divide the
+    Q-leading dim must fall back to replication for ALL state leaves
+    (cached Luu/iLuu, optimizer moments) — not just the params — instead of
+    failing at device_put/jit."""
+    rng = np.random.RandomState(0)
+    n, M, Q = 32, 8, 3  # latent axis 2 does not divide Q=3
+    liks = (L.Gaussian(sigma=0.4), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt, cache_luu=True)
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=2)
+    s0 = sharding.shard_state(mesh, state)  # raised before the guard
+    # the cached Luu (Q-leading, non-divisible) must be replicated
+    assert s0.Luu.sharding.is_fully_replicated
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    data = sharding.shard_batch(mesh, data)
+    step = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
+    s1, m1 = step(s0, data, jnp.asarray(scales, cfg.np_dtype))
+    assert np.isfinite(float(m1["elbo"]))

@@ -370,3 +370,76 @@ def test_print_callback(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 3  # i = 0, 50, 100
     assert out[1] == "svi - iteration 50 elbo -50.000000"
+
+def test_slice_wraparound_with_padded_dataset():
+    """Regression (round-2 advice): with a PADDED dataset the wraparound
+    copy must sit at index N_t — appended after the padding rows, a slice
+    crossing N_t would pick mask-0 padding rows instead of the wrapped
+    first rows (boundary under-sampling bias, deflated effective batch)."""
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    N, B = 10, 4
+    X = np.arange(N, dtype=np.float64)[:, None]
+    Y = np.zeros((N, 1))
+    dataset, _ = full_batch([X], [Y], pad_multiple=8)  # padded to 16 rows
+    assert int(dataset[0].X.shape[0]) == 16
+
+    ext = train_mod.extend_for_wraparound(dataset, (B,), (N,))
+    rows = np.asarray(ext[0].X[:, 0]).astype(int)
+    np.testing.assert_array_equal(
+        rows, np.concatenate([np.arange(N), np.arange(B)]))
+    np.testing.assert_array_equal(np.asarray(ext[0].mask), np.ones(N + B))
+
+    sampler = train_mod.make_batch_sampler(
+        TrainConfig(minibatch="slice"), (N,), (B,), pre_extended=True)
+    for i in range(120):
+        (b,) = sampler(jax.random.PRNGKey(i), ext)
+        r = np.asarray(b.X[:, 0]).astype(int)
+        # exact circular block over the REAL rows; never a padding row
+        np.testing.assert_array_equal(r, (r[0] + np.arange(B)) % N)
+        assert float(np.asarray(b.mask).min()) == 1.0
+
+
+def test_slice_scale_uses_effective_batch():
+    """Regression (round-2 advice): slice mode with B_t > N_t returns the
+    whole task every step, so its ELBO scale must be 1 (effective batch
+    N_t) — N_t/B_t < 1 would under-weight that task's VE term vs the KL."""
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.0, minibatch="slice")
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    full_elbo, _ = elbo_mod.elbo_fn(params, data,
+                                    jnp.asarray(scales, cfg.np_dtype), cfg)
+    task_sizes = tuple(int(td.X.shape[0]) for td in data)
+    batch_sizes = tuple(2 * n for n in task_sizes)  # larger than every task
+    runner = train_mod.make_scan_trainer(cfg, tc, task_sizes, batch_sizes,
+                                         vem=True, steps_per_call=1)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(
+        jax.tree_util.tree_map(jnp.array, params), cfg, opt,
+        fast_projection=tc.fast_projection)
+    state, elbos = runner(state, jax.device_put(data), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(elbos[0]), float(full_elbo), rtol=1e-9)
+
+
+def test_svi_on_device_zero_steps():
+    """num_steps=0 returns the params unchanged and an empty history (the
+    old np.concatenate([]) raised ValueError)."""
+    cfg, params, X_list, Y_list = _problem(n=32)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    p2, hist = train_mod.svi_fit_on_device(params, cfg, tc, X_list, Y_list,
+                                           batch_sizes=16, num_steps=0)
+    assert hist.shape == (0,)
+    np.testing.assert_array_equal(np.asarray(p2.q_mu), np.asarray(params.q_mu))
+
+
+def test_checkpoint_rejects_reserved_extra_key(tmp_path):
+    import pytest
+
+    from hetmogp_tpu import checkpoint as ckpt
+
+    cfg, params, _, _ = _problem(n=16)
+    with pytest.raises(ValueError, match="rng_key"):
+        ckpt.save_checkpoint(tmp_path / "c", params,
+                             extra={"rng_key": [1, 2]})
