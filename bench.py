@@ -69,7 +69,16 @@ def _workload_params():
 
 
 def _flops_of(runner, *args):
-    """XLA-analyzed FLOPs of the compiled program (None if unavailable)."""
+    """XLA-analyzed FLOPs of ONE scan-trainer step.
+
+    HLO cost analysis counts a while/scan body ONCE regardless of trip
+    count (verified: identical flops for steps_per_call 5 vs 10), so the
+    program's reported flops ARE the per-step flops.  Caveats recorded in
+    the JSON: both lax.cond branches (VE and VM) are counted, and these are
+    LOGICAL f32 flops — the HIGHEST-precision matmuls the step uses for
+    accuracy each consume ~6 bf16 MXU passes per logical flop, so hardware
+    utilization is several times the reported logical MFU.
+    """
     try:
         ca = runner.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -172,10 +181,14 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls):
         "vs_baseline": round(steps_per_sec / 100.0, 4),
     }
     if total_flops is not None:
-        flops_per_step = total_flops / steps_per_call
+        flops_per_step = total_flops  # scan body counted once, see _flops_of
         tflops = flops_per_step * steps_per_sec / 1e12
         result["flops_per_step"] = round(flops_per_step)
         result["tflops_per_sec"] = round(tflops, 2)
+        result["flops_note"] = (
+            "XLA-counted logical f32 flops of one scan step (both VE/VM "
+            "cond branches counted); HIGHEST-precision matmuls cost ~6 "
+            "bf16 MXU passes per logical flop")
         kind = jax.devices()[0].device_kind
         peak = _PEAK_FLOPS.get(kind)
         if peak is not None:

@@ -38,7 +38,7 @@ from hetmogp_tpu.likelihoods import (
     Poisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
-from hetmogp_tpu.train import (print_callback, svi_fit,
+from hetmogp_tpu.train import (plot_callback, print_callback, svi_fit,
                                svi_fit_on_device, vem_algorithm)
 from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
 from hetmogp_tpu.data import MinibatchStream, batch_scales
@@ -59,6 +59,7 @@ __all__ = [
     "Dirichlet",
     "HetLikelihood",
     "SVMOGP",
+    "plot_callback",
     "print_callback",
     "SVMOGPParams",
     "build_elbo",

@@ -129,6 +129,18 @@ class ModelConfig:
     def np_dtype(self):
         return _DTYPES[self.dtype]
 
+    def with_trained_likelihoods(self, params) -> "ModelConfig":
+        """A new config whose likelihoods absorb the trained
+        ``params.lik_theta`` as static constants (``Likelihood.with_theta``)
+        — use for prediction after training with
+        ``TrainConfig.learn_lik_params``.  No-op when lik_theta is None."""
+        if getattr(params, "lik_theta", None) is None:
+            return self
+        liks = tuple(
+            lik.with_theta(theta) if lik.n_theta else lik
+            for lik, theta in zip(self.likelihoods, params.lik_theta))
+        return dataclasses.replace(self, likelihoods=liks)
+
     def metadata(self) -> dict:
         """Reference-compatible Y_metadata dict (het_likelihood.py:24-44)."""
         import numpy as np
@@ -197,3 +209,9 @@ class TrainConfig:
     # offset (cheaper on TPU, and closest to the reference's
     # sequential-cycling slices, util.py:52-72).
     minibatch: str = "gather"
+    # Train per-task likelihood parameters (params.lik_theta, e.g. Ordinal
+    # cut-points) as hypers in the VM phase.  Off by default: the reference
+    # has no trainable likelihood parameters anywhere (even Gaussian sigma
+    # is fixed, gaussian.py:21-24).  Requires params built with
+    # init_params(..., with_lik_theta=True).
+    learn_lik_params: bool = False

@@ -65,3 +65,46 @@ def load_predictive(blob: bytes):
     """Deserialize an exported predictive; returns a callable."""
     exported = jax.export.deserialize(blob)
     return exported.call
+
+
+def export_predict_f(params: SVMOGPParams, config: ModelConfig,
+                     example_X, output_function_ind: int = 0,
+                     full_cov: bool = False) -> bytes:
+    """Serialize the latent-f predictive for one output function.
+
+    ``full_cov=True`` returns (mean (N,), cov (N, N)) — the full posterior
+    covariance for correlated f* sampling in the serving process; False
+    returns (mean, var) diagonals.  Loadable with ``load_predictive``;
+    call signature ``(*params_args(params), X)``.
+    """
+    def f(Z, q_mu, q_sqrt, log_ls, log_var, W, kappa, X):
+        p = SVMOGPParams(Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                         log_lengthscale=log_ls, log_variance=log_var,
+                         W=W, kappa=kappa, rank=config.rank)
+        return predict_mod.predict_f(p, config, X, output_function_ind,
+                                     full_cov=full_cov)
+
+    X = jnp.asarray(example_X, config.np_dtype)
+    exported = jax.export.export(jax.jit(f))(*params_args(params), X)
+    return bytes(exported.serialize())
+
+
+def export_predict_f_projected(params: SVMOGPParams, config: ModelConfig,
+                               example_Xtrain, example_Xnew,
+                               task: int = 0) -> bytes:
+    """Serialize the reference ``_raw_predict_f``-semantics projected
+    predictive for every output function of one task
+    (predict.predict_f_projected_task): (mu (F_t, Ns), var (F_t, Ns)).
+    Call signature ``(*params_args(params), Xtrain_t, Xnew)``.
+    """
+    def f(Z, q_mu, q_sqrt, log_ls, log_var, W, kappa, Xtr, Xs):
+        p = SVMOGPParams(Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                         log_lengthscale=log_ls, log_variance=log_var,
+                         W=W, kappa=kappa, rank=config.rank)
+        return predict_mod._predict_f_projected_task_impl(p, config, Xtr,
+                                                          Xs, task)
+
+    Xtr = jnp.asarray(example_Xtrain, config.np_dtype)
+    Xs = jnp.asarray(example_Xnew, config.np_dtype)
+    exported = jax.export.export(jax.jit(f))(*params_args(params), Xtr, Xs)
+    return bytes(exported.serialize())

@@ -53,6 +53,13 @@ def _var_exp_engine(lik):
 
 
 @functools.lru_cache(maxsize=None)
+def _var_exp_engine_theta(lik):
+    return quadrature.make_var_exp_theta(
+        lik.logpdf_t, J=lik.dim_f, T=lik.T_var_exp,
+        mc_samples=getattr(lik, "mc_samples", 0))
+
+
+@functools.lru_cache(maxsize=None)
 def _predictive_engine(lik):
     return quadrature.make_predictive(
         lik.conditional_moments, dim_p=lik.dim_p, J=lik.dim_f, T=lik.T_pred,
@@ -73,6 +80,13 @@ class Likelihood:
     # GH nodes: GPy default T=20; multi-latent var_exp uses T=10 (SURVEY §2b)
     T_var_exp: ClassVar[int] = quadrature.DEFAULT_T
     T_pred: ClassVar[int] = quadrature.DEFAULT_T
+    # size of the TRAINABLE likelihood-parameter vector theta (0 = none).
+    # The reference has no trainable likelihood parameters at all (e.g. the
+    # Gaussian sigma is fixed, gaussian.py:21-24); subclasses with n_theta>0
+    # (Ordinal cut-points) override logpdf_t/default_theta/with_theta, and
+    # training flows theta through the params pytree (params.lik_theta) when
+    # TrainConfig.learn_lik_params is on.
+    n_theta: ClassVar[int] = 0
 
     # ---- to be provided by subclasses -----------------------------------
     def logpdf(self, f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -98,8 +112,32 @@ class Likelihood:
         """(N, dim_f), (N, dim_y) -> (N,)."""
         return jax.vmap(self.logpdf)(F, Y)
 
-    def var_exp(self, Y, M, V):
-        """E_{N(f; M, V)}[log p(Y | f)] per data point -> (N,)."""
+    def logpdf_t(self, f: jnp.ndarray, y: jnp.ndarray,
+                 theta: jnp.ndarray) -> jnp.ndarray:
+        """logpdf with an explicit likelihood-parameter vector.  Default:
+        theta is empty/ignored; n_theta>0 subclasses override."""
+        return self.logpdf(f, y)
+
+    def default_theta(self, dtype=np.float64) -> np.ndarray:
+        """Initial theta (n_theta,) matching the static constructor values."""
+        return np.zeros((0,), dtype)
+
+    def with_theta(self, theta) -> "Likelihood":
+        """A new (static) instance whose constructor constants equal theta —
+        for prediction after training theta through the params pytree."""
+        if self.n_theta:
+            raise NotImplementedError(
+                f"{type(self).__name__} must override with_theta")
+        return self
+
+    def var_exp(self, Y, M, V, theta=None):
+        """E_{N(f; M, V)}[log p(Y | f)] per data point -> (N,).
+
+        theta: optional trainable likelihood-parameter vector (n_theta,);
+        None (or n_theta == 0) uses the static constructor constants.
+        """
+        if theta is not None and self.n_theta:
+            return _var_exp_engine_theta(self)(Y, M, V, theta)
         return _var_exp_engine(self)(Y, M, V)
 
     def var_exp_derivatives(self, Y, M, V):

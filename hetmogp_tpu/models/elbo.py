@@ -334,7 +334,11 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
         X_t, Y_t, mask_t = data[t]
         m_F, v_F = task_qf_moments(params, config, Luu, X_t, t, iLuu=iLuu,
                                    cache_grad=cache_grad)
-        ve = lik.var_exp(Y_t, m_F, v_F)  # (N_t,)
+        if params.lik_theta is not None and lik.n_theta:
+            # trainable likelihood parameters (e.g. Ordinal cut-points)
+            ve = lik.var_exp(Y_t, m_F, v_F, theta=params.lik_theta[t])
+        else:
+            ve = lik.var_exp(Y_t, m_F, v_F)  # (N_t,)
         ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
     ve_total = functools.reduce(jnp.add, ve_sums)
     kl = kl_divergence(params, config, Luu)

@@ -36,6 +36,13 @@ class SVMOGPParams:
     log_variance: jnp.ndarray
     W: jnp.ndarray
     kappa: jnp.ndarray
+    # optional per-task trainable likelihood parameters (one (n_theta_t,)
+    # vector per task, e.g. Ordinal cut-points).  None (default) keeps every
+    # likelihood's static constructor constants — the reference's behavior
+    # (it has no trainable likelihood parameters anywhere).  Built with
+    # default_lik_theta(config); trained only when
+    # TrainConfig.learn_lik_params is on (VM/hyper phase).
+    lik_theta: Optional[tuple] = None
     # coregionalization rank R (static, not a trained leaf): kernel hypers
     # are stored per GROUP (Q rows) while the latent axes (Z, q_mu, q_sqrt,
     # W, kappa) are per COPY (Q*R rows); the properties below repeat each
@@ -52,6 +59,14 @@ class SVMOGPParams:
     def variance(self):
         v = jnp.exp(self.log_variance)
         return jnp.repeat(v, self.rank, axis=0) if self.rank > 1 else v
+
+
+def default_lik_theta(config: ModelConfig, dtype=None) -> tuple:
+    """Initial ``lik_theta`` pytree: each task's likelihood default theta
+    ((0,) arrays for likelihoods without trainable parameters)."""
+    dtype = dtype or config.np_dtype
+    return tuple(jnp.asarray(lik.default_theta(), dtype)
+                 for lik in config.likelihoods)
 
 
 def random_W(key, Q: int, D: int, rank: int = 1, dtype=jnp.float32) -> jnp.ndarray:
@@ -77,6 +92,7 @@ def init_params(
     lengthscale=1.0,
     variance=1.0,
     q_mu_scale: float = 2.5,
+    with_lik_theta: bool = False,
 ) -> SVMOGPParams:
     """Initialize parameters.
 
@@ -135,5 +151,6 @@ def init_params(
         log_variance=jnp.log(var),
         W=W,
         kappa=jnp.zeros((Qe, D), dtype),
+        lik_theta=default_lik_theta(config, dtype) if with_lik_theta else None,
         rank=R,
     )

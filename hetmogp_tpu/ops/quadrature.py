@@ -142,6 +142,64 @@ def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
     return ve
 
 
+def make_var_exp_theta(logpdf_t, J: int, T: int, mc_samples: int = 0):
+    """Theta-aware variant of make_var_exp: ve(y, m, v, theta) -> (N,).
+
+    ``theta`` is a trainable likelihood-parameter vector shared across data
+    points (e.g. Ordinal cut-points).  The custom VJP keeps the reference-
+    form (dm, dv) = (E[dlogp/df], 0.5 E[d2logp/df2]) and adds
+    dtheta = sum_n E[dlogp/dtheta] from autodiff of the scalar logpdf —
+    no hand derivatives.
+
+    Args:
+      logpdf_t: scalar log-density (f: (J,), y: (dim_y,), theta: (P,)) -> ().
+    """
+    if mc_samples:
+        nodes_np, weights_np = mc_nodes(mc_samples, J)
+    else:
+        nodes_np, weights_np = tensor_grid(T, J)
+    dlogp = jax.grad(logpdf_t, argnums=0)
+    dtheta_fn = jax.grad(logpdf_t, argnums=2)
+
+    def _d2(f, y, theta):
+        H = jax.hessian(logpdf_t, argnums=0)(f, y, theta)
+        return jnp.diagonal(H)
+
+    def _ve_raw(y, m, v, theta):
+        nodes = jnp.asarray(nodes_np, dtype=m.dtype)
+        w = jnp.asarray(weights_np, dtype=m.dtype)
+        F = _expand_nodes(m, v, nodes)
+        per_point = jax.vmap(logpdf_t, in_axes=(0, None, None))
+        lp = jax.vmap(per_point, in_axes=(0, 0, None))(F, y, theta)
+        return lp @ w
+
+    @jax.custom_vjp
+    def ve(y, m, v, theta):
+        return _ve_raw(y, m, v, theta)
+
+    def ve_fwd(y, m, v, theta):
+        return _ve_raw(y, m, v, theta), (y, m, v, theta)
+
+    def ve_bwd(res, g):
+        y, m, v, theta = res
+        nodes = jnp.asarray(nodes_np, dtype=m.dtype)
+        w = jnp.asarray(weights_np, dtype=m.dtype)
+        F = _expand_nodes(m, v, nodes)
+        d1 = jax.vmap(jax.vmap(dlogp, in_axes=(0, None, None)),
+                      in_axes=(0, 0, None))(F, y, theta)  # (N,S,J)
+        d2 = jax.vmap(jax.vmap(_d2, in_axes=(0, None, None)),
+                      in_axes=(0, 0, None))(F, y, theta)  # (N,S,J)
+        dt = jax.vmap(jax.vmap(dtheta_fn, in_axes=(0, None, None)),
+                      in_axes=(0, 0, None))(F, y, theta)  # (N,S,P)
+        dm = jnp.einsum("nsj,s->nj", d1, w) * g[:, None]
+        dv = 0.5 * jnp.einsum("nsj,s->nj", d2, w) * g[:, None]
+        dth = jnp.einsum("nsp,s,n->p", dt, w, g)
+        return jnp.zeros_like(y), dm, dv, dth
+
+    ve.defvjp(ve_fwd, ve_bwd)
+    return ve
+
+
 def make_predictive(cond_moments, dim_p: int, J: int, T: int,
                     mc_samples: int = 0):
     """Generic observation-space predictive moments via GH quadrature.

@@ -52,7 +52,10 @@ def ve_mask(params: SVMOGPParams) -> SVMOGPParams:
 def vm_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
     """VM step: hypers (+ Z, W per flags) free, q(u) fixed (util.py:309-318).
 
-    kappa stays fixed always (util.py:289).
+    kappa stays fixed always (util.py:289).  Trainable likelihood
+    parameters (params.lik_theta) count as hypers, gated by
+    ``learn_lik_params`` (default off for reference parity — the reference
+    has no trainable likelihood parameters).
     """
     z = jax.tree_util.tree_map(jnp.zeros_like, params)
     m = z.replace(
@@ -63,6 +66,9 @@ def vm_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
         m = m.replace(Z=jnp.ones_like(params.Z))
     if train_config.learn_W:
         m = m.replace(W=jnp.ones_like(params.W))
+    if train_config.learn_lik_params and params.lik_theta is not None:
+        m = m.replace(lik_theta=jax.tree_util.tree_map(
+            jnp.ones_like, params.lik_theta))
     return m
 
 
@@ -74,6 +80,9 @@ def all_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
         m = m.replace(Z=jnp.zeros_like(params.Z))
     if not train_config.learn_W:
         m = m.replace(W=jnp.zeros_like(params.W))
+    if not train_config.learn_lik_params and params.lik_theta is not None:
+        m = m.replace(lik_theta=jax.tree_util.tree_map(
+            jnp.zeros_like, params.lik_theta))
     return m
 
 
@@ -351,6 +360,8 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 hyper = dict(log_lengthscale=p.log_lengthscale,
                              log_variance=p.log_variance, Z=p.Z, W=p.W,
                              kappa=p.kappa)
+                if p.lik_theta is not None:
+                    hyper["lik_theta"] = p.lik_theta
                 (v, aux), g = jax.value_and_grad(
                     loss_h, has_aux=True)(hyper)
                 out = ((v, aux), zeros.replace(**g))
@@ -433,6 +444,47 @@ def print_callback(every: int = 50):
         if i % every == 0:
             print(f"svi - iteration {i} elbo {float(metrics['elbo']):.6f}")
 
+    return cb
+
+
+def plot_callback(every: int = 50, path: Optional[str] = None, ax=None):
+    """Live ELBO plot, the reference's ``callback(verbose_plot=True)``
+    equivalent (svmogp.py:208-213: redraws an ELBO-vs-iteration line every
+    50 SVI iterations).
+
+    Headless-friendly: with ``path`` the figure is saved there on each
+    redraw (Agg backend); in an interactive backend the figure updates in
+    place.  Pass to ``svi_fit(callback=...)`` / ``SVMOGP.fit_svi``.  The
+    accumulated history is available as ``cb.history``.
+    """
+    import matplotlib
+    if path is not None and matplotlib.get_backend().lower() != "agg":
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(7, 3))
+    else:
+        fig = ax.figure
+    (line,) = ax.plot([], [], lw=1.0)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("ELBO")
+    history = []
+
+    def cb(i, metrics):
+        history.append(float(metrics["elbo"]))
+        if i % every == 0:
+            line.set_data(np.arange(len(history)), np.asarray(history))
+            ax.relim()
+            ax.autoscale_view()
+            if path is not None:
+                fig.savefig(path, dpi=80)
+            else:
+                fig.canvas.draw_idle()
+                plt.pause(0.001)
+
+    cb.history = history
+    cb.figure = fig
     return cb
 
 
@@ -824,7 +876,10 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
             m_F, v_F = elbo_mod.task_qf_moments(
                 params, config, Luu, X_t, t, iLuu=iLuu,
                 q_moments=(m_, S_), var_floor=1e-12)
-            ve = lik.var_exp(Y_t, m_F, v_F)
+            if params.lik_theta is not None and lik.n_theta:
+                ve = lik.var_exp(Y_t, m_F, v_F, theta=params.lik_theta[t])
+            else:
+                ve = lik.var_exp(Y_t, m_F, v_F)
             ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
         return functools.reduce(jnp.add, ve_sums), jnp.stack(ve_sums)
 
@@ -848,12 +903,19 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     theta1_new = theta1 + lr * d_eta1
     # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD; lr controls this)
     A = S_inv - 2.0 * lr * g_S
+    # Recover L_new with L_new L_new^T = S_new = A^{-1} via ONE
+    # factorization: the reversed (UL) Cholesky.  With J the index-reversal,
+    # chol(J A J) = L_r gives A = U U^T for the UPPER-triangular
+    # U = J L_r J, so A^{-1} = U^{-T} U^{-1} and L_new = U^{-T} =
+    # (J L_r^{-1} J)^T is lower-triangular with positive diagonal — i.e.
+    # exactly chol(S_new) (uniqueness), without ever forming S_new or
+    # running a second Cholesky.  m_new = S_new theta1 becomes two matvecs.
     chol = _natgrad_chol(config)
-    L_A = chol(A)
-    iL_A = linalg.rec_tri_inverse(L_A)
-    S_new = jnp.einsum("qkm,qkn->qmn", iL_A, iL_A, precision=hi)  # A^{-1}
-    m_new = jnp.einsum("qmk,qk->qm", S_new, theta1_new)
-    L_new = chol(S_new)
+    L_r = chol(A[..., ::-1, ::-1])
+    L_new = jnp.swapaxes(
+        linalg.rec_tri_inverse(L_r)[..., ::-1, ::-1], -1, -2)
+    m_new = jnp.einsum("qmk,qk->qm", L_new,
+                       jnp.einsum("qkm,qk->qm", L_new, theta1_new))
     new_params = params.replace(q_mu=m_new, q_sqrt=L_new)
     return new_params, ve_total - kl, {"ve": ve_sums, "kl": kl}
 

@@ -265,3 +265,77 @@ def test_batch_scales_with_masks():
     mask = [np.concatenate([np.ones(30), np.zeros(2)])]
     assert batch_scales(X_all, Xb) == [100.0 / 32.0]
     assert batch_scales(X_all, Xb, masks=mask) == [100.0 / 30.0]
+
+
+def test_export_predict_f_full_cov_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig
+    from hetmogp_tpu.export import (export_predict_f,
+                                    export_predict_f_projected,
+                                    load_predictive, params_args)
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(1)
+    cfg = ModelConfig(likelihoods=(Gaussian(sigma=0.5), Bernoulli()),
+                      num_latent=2, num_inducing=5, input_dim=1,
+                      dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 5)[:, None], lengthscale=0.3)
+    X = rng.rand(7, 1)
+
+    # full-covariance latent-f predictive
+    blob = export_predict_f(params, cfg, X, output_function_ind=1,
+                            full_cov=True)
+    fn = load_predictive(blob)
+    mu, cov = fn(*params_args(params), jnp.asarray(X, cfg.np_dtype))
+    emu, ecov = predict_mod.predict_f(params, cfg, X, 1, full_cov=True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(emu), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(ecov), atol=1e-10)
+    assert np.asarray(cov).shape == (7, 7)
+
+    # projected (reference _raw_predict_f semantics) variant
+    Xtr = rng.rand(9, 1)
+    Xs = rng.rand(4, 1)
+    blob2 = export_predict_f_projected(params, cfg, Xtr, Xs, task=0)
+    fn2 = load_predictive(blob2)
+    mu2, var2 = fn2(*params_args(params), jnp.asarray(Xtr, cfg.np_dtype),
+                    jnp.asarray(Xs, cfg.np_dtype))
+    emu2, evar2 = predict_mod.predict_f_projected_task(
+        params, cfg, [Xtr, None], Xs, 0)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(emu2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(evar2),
+                               atol=1e-10)
+
+
+def test_plot_callback_live_figure(tmp_path):
+    """The reference's verbose_plot live-ELBO callback equivalent
+    (svmogp.py:208-213): accumulates history and saves/redraws every N."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import jax
+
+    from hetmogp_tpu import (Bernoulli, Gaussian, MinibatchStream,
+                             ModelConfig, TrainConfig, plot_callback)
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(Gaussian(sigma=0.5), Bernoulli()),
+                      num_latent=2, num_inducing=5, input_dim=1,
+                      dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 5)[:, None], lengthscale=0.3)
+    X_list = [rng.rand(30, 1), rng.rand(30, 1)]
+    Y_list = [rng.randn(30, 1), (rng.rand(30, 1) > 0.5).astype(float)]
+    stream = MinibatchStream(X_list, Y_list, 16, dtype=cfg.np_dtype)
+    out = tmp_path / "elbo.png"
+    cb = plot_callback(every=5, path=str(out))
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    train_mod.svi_fit(params, cfg, tc, stream, 12, callback=cb)
+    assert len(cb.history) == 12
+    assert out.exists() and out.stat().st_size > 0
+    line = cb.figure.axes[0].lines[0]
+    assert len(line.get_xdata()) >= 11  # redrawn at iteration 10

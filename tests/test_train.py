@@ -443,3 +443,62 @@ def test_checkpoint_rejects_reserved_extra_key(tmp_path):
     with pytest.raises(ValueError, match="rng_key"):
         ckpt.save_checkpoint(tmp_path / "c", params,
                              extra={"rng_key": [1, 2]})
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """VERDICT r2 #7: training N steps, checkpointing (params + opt_state +
+    step + RNG key), restoring into a fresh state, and training N more must
+    reproduce an uninterrupted 2N-step scan-trainer run exactly — proving
+    the resume promise end-to-end (step counter drives the VE/VM phase; the
+    Luu/iLuu caches are rebuilt from the restored params, which is exact
+    because every VM step refreshes the cache at its updated hypers)."""
+    from hetmogp_tpu import checkpoint as ckpt
+
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.01, minibatch="slice")
+    data, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    data = jax.device_put(data)
+    ts = tuple(int(td.X.shape[0]) for td in data)
+    runner = train_mod.make_scan_trainer(cfg, tc, ts, (32, 32), vem=True,
+                                         steps_per_call=10)
+    opt = train_mod.make_optimizer(tc)
+
+    def fresh_state(p):
+        return train_mod.init_train_state(
+            jax.tree_util.tree_map(jnp.array, p), cfg, opt, cache_luu=True,
+            fast_projection=tc.fast_projection)
+
+    key = jax.random.PRNGKey(42)
+
+    # uninterrupted 20 steps
+    sA = fresh_state(params)
+    kA = key
+    kA, sub = jax.random.split(kA)
+    sA, eA1 = runner(sA, data, sub)
+    kA, sub = jax.random.split(kA)
+    sA, eA2 = runner(sA, data, sub)
+
+    # interrupted: 10 steps -> checkpoint -> restore -> 10 steps
+    sB = fresh_state(params)
+    kB = key
+    kB, sub = jax.random.split(kB)
+    sB, eB1 = runner(sB, data, sub)
+    path = tmp_path / "resume"
+    ckpt.save_checkpoint(path, sB.params, opt_state=sB.opt_state,
+                         step=int(sB.step), rng_key=np.asarray(kB))
+    np.testing.assert_array_equal(np.asarray(eB1), np.asarray(eA1))
+
+    tmpl_state = fresh_state(params)  # templates for pytree structure
+    p2, opt2, step2, extra = ckpt.load_checkpoint(
+        path, tmpl_state.params, opt_state_template=tmpl_state.opt_state)
+    sC = fresh_state(p2)._replace(opt_state=opt2,
+                                  step=jnp.asarray(step2, sB.step.dtype))
+    kC = jnp.asarray(extra["rng_key"], dtype=jnp.uint32)
+    kC, sub = jax.random.split(kC)
+    sC, eC2 = runner(sC, data, sub)
+
+    np.testing.assert_allclose(np.asarray(eC2), np.asarray(eA2), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sC.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12,
+                                   atol=1e-12)
