@@ -95,6 +95,18 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls):
     import jax
     import jax.numpy as jnp  # noqa: F401 - ensures full jax init
 
+    # persistent compile cache: TPU programs at bench shapes take 5-10 min
+    # to compile cold; repeat runs (and retry attempts that DON'T bypass)
+    # reuse the compiled executables.  The supervisor's retry path points
+    # HETMOGP_JAX_CACHE at a fresh dir to bypass a possibly-poisoned cache.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("HETMOGP_JAX_CACHE", "/tmp/hetmogp_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax: cold-compile every run
+
     from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
                              HetGaussian, ModelConfig, Poisson, TrainConfig)
     from hetmogp_tpu import train as train_mod

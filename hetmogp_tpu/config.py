@@ -209,6 +209,15 @@ class TrainConfig:
     # offset (cheaper on TPU, and closest to the reference's
     # sequential-cycling slices, util.py:52-72).
     minibatch: str = "gather"
+    # VM steps compute hyper gradients from only the first
+    # ceil(vm_batch_fraction * B_t) rows of the step's batch, with the ELBO
+    # scale adjusted to stay unbiased (slice-mode batches are contiguous
+    # uniform random blocks, so a prefix is a smaller uniform random block;
+    # gather-mode rows are iid).  The whole VM chain (projection,
+    # kernel-build pullbacks, quadrature backward) is O(B), so 0.25 cuts
+    # the VM step cost ~4x at the price of 4x noisier hyper gradients on
+    # the 1-in-5 VM steps.  1.0 (default) = exact reference semantics.
+    vm_batch_fraction: float = 1.0
     # Train per-task likelihood parameters (params.lik_theta, e.g. Ordinal
     # cut-points) as hypers in the VM phase.  Off by default: the reference
     # has no trainable likelihood parameters anywhere (even Gaussian sigma

@@ -91,6 +91,31 @@ class SVMOGP:
             self.params, data, jnp.asarray(scales, self.config.np_dtype))
         return float(e)
 
+    # ---- trainable likelihood parameters --------------------------------
+    def _ensure_lik_theta(self, tc: TrainConfig):
+        """Materialize params.lik_theta when training asks to learn
+        likelihood parameters (TrainConfig.learn_lik_params) and the
+        model's likelihoods have any (Likelihood.n_theta > 0)."""
+        if (tc.learn_lik_params and self.params.lik_theta is None
+                and any(lik.n_theta for lik in self.config.likelihoods)):
+            from hetmogp_tpu.models.params import default_lik_theta
+
+            self.params = self.params.replace(
+                lik_theta=default_lik_theta(self.config))
+
+    @property
+    def pred_config(self) -> ModelConfig:
+        """Config for prediction: the static likelihoods with any trained
+        params.lik_theta absorbed (memoized so jit statics stay stable —
+        equal theta values produce an equal, equal-hash config)."""
+        if self.params.lik_theta is None:
+            return self.config
+        key = tuple(np.asarray(t).tobytes() for t in self.params.lik_theta)
+        if getattr(self, "_pred_cfg_key", None) != key:
+            self._pred_cfg_key = key
+            self._pred_cfg = self.config.with_trained_likelihoods(self.params)
+        return self._pred_cfg
+
     # ---- training --------------------------------------------------------
     def fit_vem(self, train_config: Optional[TrainConfig] = None,
                 vem_iters: Optional[int] = None, verbose: bool = False):
@@ -102,6 +127,7 @@ class SVMOGP:
         tc = train_config or TrainConfig()
         if vem_iters is not None:
             tc = dataclasses.replace(tc, vem_iters=vem_iters)
+        self._ensure_lik_theta(tc)
         self.params, hist = train_mod.vem_algorithm(
             self.params, self.config, self.Xmulti_all, self.Ymulti_all,
             train_config=tc, verbose=verbose)
@@ -116,6 +142,7 @@ class SVMOGP:
         from hetmogp_tpu.data import MinibatchStream
 
         tc = train_config or TrainConfig()
+        self._ensure_lik_theta(tc)
         stream = MinibatchStream(self.Xmulti_all, self.Ymulti_all, batch_size,
                                  shuffle=tc.shuffle, seed=tc.seed,
                                  dtype=self.config.np_dtype)
@@ -136,6 +163,7 @@ class SVMOGP:
         from hetmogp_tpu import train as train_mod
 
         tc = train_config or TrainConfig()
+        self._ensure_lik_theta(tc)
         self.params, hist = train_mod.svi_fit_on_device(
             self.params, self.config, tc, self.Xmulti_all, self.Ymulti_all,
             batch_size, num_steps, vem=vem, steps_per_call=steps_per_call,
@@ -183,7 +211,7 @@ class SVMOGP:
     def predictive(self, Xpred: Sequence, projected: bool = False):
         """Observation-space prediction; ``projected=True`` reproduces the
         reference's training-set re-projection path exactly."""
-        return predict_mod.predictive(self.params, self.config, Xpred,
+        return predict_mod.predictive(self.params, self.pred_config, Xpred,
                                       Xtrain_list=self.Xmulti_all,
                                       projected=projected)
 
@@ -192,7 +220,7 @@ class SVMOGP:
                                 tasks=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         return float(predict_mod.negative_log_predictive(
-            self.params, self.config, key, Xtest, Ytest, num_samples,
+            self.params, self.pred_config, key, Xtest, Ytest, num_samples,
             reference_scaling=reference_scaling, tasks=tasks))
 
     # ---- plotting (reference svmogp.py:372-469) --------------------------

@@ -188,6 +188,17 @@ _HI = jax.lax.Precision.HIGHEST
 # no-ops, so the exactness tests stay exact.
 _BWD = jax.lax.Precision.HIGH
 
+# VM-step FORWARD solve precision (solve_tri_cached's iL @ B).  HIGHEST by
+# default: the solve feeds v_F's kdiag - |P|^2 cancellation exactly like the
+# VE projection, where 3-pass HIGH measured 6.3e-3 relative P error.
+# HETMOGP_VM_FWD_PRECISION=high is an experimental knob for measuring the
+# speed/accuracy trade (see docs/DESIGN.md §8 candidates).
+import os as _os
+
+_VM_FWD = (jax.lax.Precision.HIGH
+           if _os.environ.get("HETMOGP_VM_FWD_PRECISION", "").lower() == "high"
+           else _HI)
+
 
 @jax.custom_vjp
 def chol_cached(K: jnp.ndarray, L: jnp.ndarray, iL: jnp.ndarray) -> jnp.ndarray:
@@ -233,11 +244,11 @@ def solve_tri_cached(L: jnp.ndarray, B: jnp.ndarray, iL: jnp.ndarray
     iL receives a zero cotangent.
     """
     del L
-    return jnp.matmul(iL, B, precision=_HI)
+    return jnp.matmul(iL, B, precision=_VM_FWD)
 
 
 def _solve_tri_cached_fwd(L, B, iL):
-    y = jnp.matmul(iL, B, precision=_HI)
+    y = jnp.matmul(iL, B, precision=_VM_FWD)
     return y, (y, iL)
 
 

@@ -42,11 +42,27 @@ from hetmogp_tpu.ops import linalg
 # gradient masks (the fix/unfix mechanism)
 # ---------------------------------------------------------------------------
 
+def _scalar_mask_tree(params: SVMOGPParams, value: float) -> SVMOGPParams:
+    """Per-leaf SCALAR 0/1 multipliers with the params' tree structure.
+
+    Every fix/unfix decision here is whole-leaf, so the masks are scalars
+    that broadcast in the multiply — materializing ones_like/zeros_like
+    arrays (16 MB for q_sqrt at bench shapes) and streaming them through
+    several elementwise passes per step was pure HBM waste.
+    """
+    return jax.tree_util.tree_map(
+        lambda p: jnp.asarray(value, p.dtype), params)
+
+
+def _leaf_scalar(params_leaf, value: float):
+    return jnp.asarray(value, jnp.result_type(params_leaf))
+
+
 def ve_mask(params: SVMOGPParams) -> SVMOGPParams:
     """VE step: only variational parameters free (util.py:296-304)."""
-    z = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return z.replace(q_mu=jnp.ones_like(params.q_mu),
-                     q_sqrt=jnp.ones_like(params.q_sqrt))
+    z = _scalar_mask_tree(params, 0.0)
+    return z.replace(q_mu=_leaf_scalar(params.q_mu, 1.0),
+                     q_sqrt=_leaf_scalar(params.q_sqrt, 1.0))
 
 
 def vm_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
@@ -57,32 +73,32 @@ def vm_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
     ``learn_lik_params`` (default off for reference parity — the reference
     has no trainable likelihood parameters).
     """
-    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    z = _scalar_mask_tree(params, 0.0)
     m = z.replace(
-        log_lengthscale=jnp.ones_like(params.log_lengthscale),
-        log_variance=jnp.ones_like(params.log_variance),
+        log_lengthscale=_leaf_scalar(params.log_lengthscale, 1.0),
+        log_variance=_leaf_scalar(params.log_variance, 1.0),
     )
     if train_config.learn_inducing:
-        m = m.replace(Z=jnp.ones_like(params.Z))
+        m = m.replace(Z=_leaf_scalar(params.Z, 1.0))
     if train_config.learn_W:
-        m = m.replace(W=jnp.ones_like(params.W))
+        m = m.replace(W=_leaf_scalar(params.W, 1.0))
     if train_config.learn_lik_params and params.lik_theta is not None:
         m = m.replace(lik_theta=jax.tree_util.tree_map(
-            jnp.ones_like, params.lik_theta))
+            lambda p: _leaf_scalar(p, 1.0), params.lik_theta))
     return m
 
 
 def all_mask(params: SVMOGPParams, train_config: TrainConfig) -> SVMOGPParams:
     """Joint mode (non-VEM SVI): everything but kappa free."""
-    ones = jax.tree_util.tree_map(jnp.ones_like, params)
-    m = ones.replace(kappa=jnp.zeros_like(params.kappa))
+    ones = _scalar_mask_tree(params, 1.0)
+    m = ones.replace(kappa=_leaf_scalar(params.kappa, 0.0))
     if not train_config.learn_inducing:
-        m = m.replace(Z=jnp.zeros_like(params.Z))
+        m = m.replace(Z=_leaf_scalar(params.Z, 0.0))
     if not train_config.learn_W:
-        m = m.replace(W=jnp.zeros_like(params.W))
+        m = m.replace(W=_leaf_scalar(params.W, 0.0))
     if not train_config.learn_lik_params and params.lik_theta is not None:
         m = m.replace(lik_theta=jax.tree_util.tree_map(
-            jnp.zeros_like, params.lik_theta))
+            lambda p: _leaf_scalar(p, 0.0), params.lik_theta))
     return m
 
 
@@ -348,14 +364,32 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
             # Gated off under adadelta lookahead, where the gradient point
             # has momentum-shifted hypers the cache does not match.
             vm_cached = fastp and config.whiten and not lookahead
+            frac = train_config.vm_batch_fraction
+            if frac < 1.0:
+                # VM sub-batch: prefix rows (uniform random sub-block in
+                # slice mode, iid rows in gather mode), scales re-derived
+                # from the mask sums so padded rows stay excluded
+                def _sub(td):
+                    k = max(1, int(np.ceil(td.X.shape[0] * frac)))
+                    return elbo_mod.TaskData(X=td.X[:k], Y=td.Y[:k],
+                                             mask=td.mask[:k])
+
+                data_vm = tuple(_sub(td) for td in data)
+                full_rows = jnp.stack([jnp.maximum(jnp.sum(td.mask), 1.0)
+                                       for td in data])
+                sub_rows = jnp.stack([jnp.maximum(jnp.sum(td.mask), 1.0)
+                                      for td in data_vm])
+                scales_vm = scales * (full_rows / sub_rows).astype(scales.dtype)
+            else:
+                data_vm, scales_vm = data, scales
 
             def vm_branch(p):
                 def loss_h(hp):
                     pp = p.replace(**hp)
                     if vm_cached:
-                        return loss_fn(pp, data, scales, Luu=state.Luu,
+                        return loss_fn(pp, data_vm, scales_vm, Luu=state.Luu,
                                        iLuu=state.iLuu, cache_grad=True)
-                    return loss_fn(pp, data, scales)
+                    return loss_fn(pp, data_vm, scales_vm)
 
                 hyper = dict(log_lengthscale=p.log_lengthscale,
                              log_variance=p.log_variance, Z=p.Z, W=p.W,

@@ -136,3 +136,28 @@ def test_lik_theta_none_is_inert_in_masks_and_elbo():
     e1 = float(elbo_mod.elbo_fn(p_none, data, scales, cfg)[0])
     e2 = float(elbo_mod.elbo_fn(p_theta, data, scales, cfg)[0])
     np.testing.assert_allclose(e2, e1, rtol=1e-12)
+
+
+def test_svmogp_model_level_learned_thresholds():
+    """User-level flow: SVMOGP + TrainConfig(learn_lik_params=True)
+    materializes lik_theta, trains it, and observation-space prediction
+    absorbs the learned cut-points (pred_config)."""
+    from hetmogp_tpu import SVMOGP
+
+    cfg, params, X_list, Y_list = _ordinal_problem()
+    m = SVMOGP(cfg, X_list, Y_list, np.linspace(0, 1, 8)[:, None],
+               key=jax.random.PRNGKey(2), lengthscale=0.2)
+    assert m.params.lik_theta is None
+    tc = TrainConfig(optimizer="adam", step_rate=0.05, learn_lik_params=True)
+    m.fit_svi(batch_size=64, num_steps=40, train_config=tc)
+    assert m.params.lik_theta is not None
+    th0 = np.asarray(L.Ordinal(K=4).default_theta())
+    assert np.abs(np.asarray(m.params.lik_theta[0]) - th0).max() > 1e-4
+    # prediction uses the trained cut-points
+    pc = m.pred_config
+    assert pc.likelihoods[0].thresholds is not None
+    mp, vp = m.predictive([X_list[0]])
+    np.testing.assert_allclose(np.asarray(mp[0]).sum(axis=1), 1.0, atol=1e-5)
+    nlpd = m.negative_log_predictive([X_list[0][:20]], [Y_list[0][:20]],
+                                     num_samples=100, tasks=[0])
+    assert np.isfinite(nlpd)
