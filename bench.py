@@ -90,7 +90,8 @@ def _flops_of(runner, *args):
         return None
 
 
-def run_workload(metric, N_per, M, Q, B, steps_per_call, calls):
+def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
+                 ve_fwd_precision="highest"):
     """Run the scan-trainer workload; returns the result dict."""
     import jax
     import jax.numpy as jnp  # noqa: F401 - ensures full jax init
@@ -139,7 +140,8 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls):
     # measured); the fixed floor is stable over 3000-step runs (no NaNs)
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
-                      adaptive_jitter=False)
+                      adaptive_jitter=False,
+                      ve_fwd_precision=ve_fwd_precision)
     # fast_projection (default): cached triangular inverse + HIGHEST-prec
     # matmuls for VE projections and VM cached adjoints; minibatch="slice"
     # draws contiguous random blocks (the reference's own sequential-slice
@@ -232,9 +234,16 @@ def worker(argv):
         # M-scaling sweep (VERDICT r2 #6): quick-sized call counts, one
         # JSON line per point under per-M metric names
         for M in (512, 1024, 2048):
+            # M=2048: VE-forward projections dominate the step; HIGH
+            # precision is the measured adoption for this regime (+18%,
+            # trajectory-equivalent to HIGHEST — ModelConfig docstring /
+            # DESIGN.md §7d)
+            prec = "high" if M >= 2048 else "highest"
             res = run_workload(f"svi_steps_per_sec_sweep_M{M}",
                                N_per=1_000_000 // 6, M=M, Q=4, B=512,
-                               steps_per_call=50, calls=3)
+                               steps_per_call=50, calls=3,
+                               ve_fwd_precision=prec)
+            res["ve_fwd_precision"] = prec
             print(json.dumps(res))
         return
     metric, shapes = _workload_params()

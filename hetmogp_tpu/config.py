@@ -74,6 +74,20 @@ class ModelConfig:
     # custom-VJP Cholesky — use for accuracy-critical/predict-only paths,
     # not the training hot loop.  Requires jax_enable_x64.
     chol_dtype: str = "same"
+    # Matmul precision of the VE-step forward projection P = Kfu @ iLuu^T
+    # (the fast_projection einsum, elbo.latent_projections).  "highest"
+    # (default, 6-pass bf16 == f32) is the safe setting: P feeds the
+    # kdiag - |P|^2 cancellation in the f-variance, where one bf16 pass
+    # (DEFAULT) measured relerr ~1.5e0 at M=1024.  "high" (3-pass bf16) is
+    # a measured large-M opt-in: at M=2048 this einsum dominates the VE
+    # step and HIGH is +18% end-to-end (131 vs 111 steps/s) with the
+    # 1500-step ELBO trajectory indistinguishable from HIGHEST (per-100
+    # checkpoints within 4e-4 rel on a ~1.3e6-nat scale) — its absolute
+    # gamma error (~5e-3) sits below the quadrature discretization noise
+    # even where true variances are ~7e-4.  Full analysis: docs/DESIGN.md
+    # §7d.  Only consulted on the fast_projection VE path; solves and VM
+    # cached adjoints stay HIGHEST.
+    ve_fwd_precision: str = "highest"
 
     # ---- derived static metadata ------------------------------------------------
     @property

@@ -35,7 +35,6 @@ from hetmogp_tpu.config import ModelConfig
 from hetmogp_tpu.models.params import SVMOGPParams
 from hetmogp_tpu.ops import kernels, linalg
 
-
 class TaskData(NamedTuple):
     """One task's (mini)batch. mask weights each datapoint's VE term (1/0);
     padding rows carry mask 0 so ragged tasks shard cleanly across devices."""
@@ -148,9 +147,13 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
         # significance (measured P relative error 1.5e0 at M=1024,
         # cond(Kuu)~1e6 — the round-1 "75% gradient error"); at HIGHEST the
         # matmul matches the triangular solve's accuracy (2.3e-4 vs 1.6e-4
-        # on the same inputs).
+        # on the same inputs).  config.ve_fwd_precision="high" is the
+        # measured large-M opt-in (see ModelConfig).
+        prec = (jax.lax.Precision.HIGH
+                if config.ve_fwd_precision == "high"
+                else jax.lax.Precision.HIGHEST)
         P = jnp.einsum("qnm,qkm->qnk", Kfu, iLuu,
-                       precision=jax.lax.Precision.HIGHEST)  # Kfu @ iLuu^T
+                       precision=prec)  # Kfu @ iLuu^T
     else:
         R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # Luu^{-1} Kuf
         P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)

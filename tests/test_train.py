@@ -177,6 +177,35 @@ def test_fast_projection_matches_solve_path():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8)
 
 
+def test_ve_fwd_precision_high_plumbs_and_matches():
+    """ModelConfig.ve_fwd_precision="high" (the measured large-M opt-in,
+    DESIGN.md §7d) must thread through the fast-projection VE path and —
+    on CPU, where matmul precision tiers are exact — reproduce the
+    default-tier trajectory bit-for-bit."""
+    import dataclasses
+
+    cfg, params, X_list, Y_list = _problem()
+    cfg_high = dataclasses.replace(cfg, ve_fwd_precision="high")
+    assert hash(cfg_high) != hash(cfg)  # distinct jit-static identity
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    tc = TrainConfig(optimizer="adam", step_rate=0.03, fast_projection=True)
+    opt = train_mod.make_optimizer(tc)
+    states = {}
+    for name, c in (("highest", cfg), ("high", cfg_high)):
+        step = train_mod.make_svi_step(c, tc, vem=True)
+        s = train_mod.init_train_state(params, c, opt, cache_luu=True,
+                                       fast_projection=True)
+        for _ in range(5):
+            s, m = step(s, data, scales)
+            assert np.isfinite(float(m["elbo"]))
+        states[name] = (s, float(m["elbo"]))
+    assert states["high"][1] == states["highest"][1]
+    for a, b in zip(jax.tree_util.tree_leaves(states["highest"][0].params),
+                    jax.tree_util.tree_leaves(states["high"][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_extensionless_path_and_opt_dtype(tmp_path):
     """save('ckpt') + load('ckpt') round-trips (np.savez appends .npz), and
     opt_state leaves are shape-validated + cast to the template dtype."""
