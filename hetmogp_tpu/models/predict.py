@@ -296,6 +296,43 @@ def predictive(params: SVMOGPParams, config: ModelConfig, X_list: Sequence,
     return m_pred, v_pred
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_predictive_task(config: ModelConfig, mesh, task: int):
+    from hetmogp_tpu.parallel import sharding
+
+    return sharding.make_sharded_predictive_task(config, mesh, task)
+
+
+def predictive_sharded(params: SVMOGPParams, config: ModelConfig,
+                       X_list: Sequence, mesh):
+    """Observation-space predictive moments over a device mesh.
+
+    Serving-scale variant of ``predictive`` (direct inducing-point moments
+    path; same values): each task's prediction rows are sharded over the
+    mesh's 'data' axis so throughput scales with chips.  Rows are padded
+    (repeating the last row) to a multiple of the data-axis size and the
+    pad is dropped from the returned arrays.  On a 2-D ('data','latent')
+    mesh pass params already placed with ``parallel.shard_state`` /
+    ``param_shardings`` so the per-latent algebra stays on the latent
+    axis; on a 1-D data mesh params are replicated by the jit itself.
+
+    Returns (m_pred, v_pred): lists of (N_t, dim_p) arrays.
+    """
+    nd = mesh.shape["data"]
+    m_pred, v_pred = [], []
+    for t in range(config.num_tasks):
+        X = _as_inputs(X_list[t], config)
+        Ns = int(X.shape[0])
+        pad = (-Ns) % nd
+        if pad:
+            X = jnp.concatenate(
+                [X, jnp.broadcast_to(X[-1:], (pad, X.shape[1]))])
+        m, v = _sharded_predictive_task(config, mesh, t)(params, X)
+        m_pred.append(m[:Ns])
+        v_pred.append(v[:Ns])
+    return m_pred, v_pred
+
+
 def negative_log_predictive(params: SVMOGPParams, config: ModelConfig,
                             key, Xtest: Sequence, Ytest: Sequence,
                             num_samples: int = 1000,

@@ -208,9 +208,21 @@ class SVMOGP:
             output_function_ind)
         return np.asarray(m)[:, None], np.asarray(v)[:, None]
 
-    def predictive(self, Xpred: Sequence, projected: bool = False):
+    def predictive(self, Xpred: Sequence, projected: bool = False,
+                   mesh=None):
         """Observation-space prediction; ``projected=True`` reproduces the
-        reference's training-set re-projection path exactly."""
+        reference's training-set re-projection path exactly.  ``mesh``
+        runs the direct path SPMD over a device mesh with prediction rows
+        sharded on the 'data' axis (serving-scale; see
+        predict.predictive_sharded)."""
+        if mesh is not None:
+            if projected:
+                raise ValueError(
+                    "projected=True is the O(N^3) training-set "
+                    "re-projection path and is not mesh-sharded; use the "
+                    "default direct path with mesh=")
+            return predict_mod.predictive_sharded(
+                self.params, self.pred_config, Xpred, mesh)
         return predict_mod.predictive(self.params, self.pred_config, Xpred,
                                       Xtrain_list=self.Xmulti_all,
                                       projected=projected)

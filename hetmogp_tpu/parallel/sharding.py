@@ -184,6 +184,38 @@ def make_sharded_svi_step(config: ModelConfig, train_config: TrainConfig,
     return jax.jit(body, in_shardings=(state_sh, data_sh, rep))
 
 
+def make_sharded_predictive_task(config: ModelConfig, mesh: Mesh, task: int):
+    """Observation-space predictive moments of one task, SPMD over the mesh.
+
+    The serving-scale path (reference ``predictive``, svmogp.py:333-351,
+    computed via the direct inducing-point moments): prediction rows shard
+    over the 'data' axis, so each chip builds only its rows' Kfu /
+    projection / likelihood-quadrature chain — zero collectives on a 1-D
+    mesh (the computation is row-independent).  On a 2-D ('data','latent')
+    mesh the params keep the caller's latent placement (use
+    ``param_shardings``/``shard_state``) and the q-mixing contractions in
+    ``task_qf_moments`` become ICI psums, emitted by jit partitioning.
+
+    Returns a jitted ``(params, X) -> (m_pred, v_pred)`` with row-sharded
+    outputs.  X's row count must be divisible by the data-axis size —
+    ``predict.predictive_sharded`` pads and unpads for callers.
+    """
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    lik = config.likelihoods[task]
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("data", None))
+    params_sh = None if has_latent_axis(mesh) else rep
+
+    def f(params, X):
+        Luu = elbo_mod.prior_cholesky(params, config)
+        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X, task)
+        return lik.predictive(m_F, v_F)
+
+    return jax.jit(f, in_shardings=(params_sh, rows),
+                   out_shardings=(rows, rows))
+
+
 def make_sharded_elbo(config: ModelConfig, mesh: Mesh):
     """Jitted (elbo, aux) over the mesh — for sharded evaluation tests."""
     from hetmogp_tpu.models import elbo as elbo_mod

@@ -304,3 +304,77 @@ def test_state_shardings_nondivisible_latent_replicates():
     step = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
     s1, m1 = step(s0, data, jnp.asarray(scales, cfg.np_dtype))
     assert np.isfinite(float(m1["elbo"]))
+
+
+def test_sharded_predictive_matches_unsharded():
+    """Serving path: predictive_sharded over a 1-D data mesh == the plain
+    predictive, including a row count NOT divisible by the mesh (pad +
+    unpad) — SURVEY.md §5 serving row."""
+    from hetmogp_tpu.models import predict as predict_mod
+
+    cfg, params, _, _ = _problem()
+    rng = np.random.RandomState(7)
+    X_list = [rng.rand(101, 1), rng.rand(64, 1)]  # 101 % 8 != 0
+    m_ref, v_ref = predict_mod.predictive(params, cfg, X_list)
+
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    m_sh, v_sh = predict_mod.predictive_sharded(params, cfg, X_list, mesh)
+    for t in range(cfg.num_tasks):
+        assert m_sh[t].shape == m_ref[t].shape
+        np.testing.assert_allclose(np.asarray(m_sh[t]), np.asarray(m_ref[t]),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(v_sh[t]), np.asarray(v_ref[t]),
+                                   rtol=1e-12, atol=1e-14)
+        # outputs really are row-sharded before the unpad slice
+        assert np.all(np.asarray(v_sh[t]) >= 0)
+
+
+def test_sharded_predictive_2d_mesh_latent_params():
+    """predictive_sharded on a 2-D ('data','latent') mesh with the params
+    placed on the latent axis: same values, q-contractions ride psum."""
+    from hetmogp_tpu.models import predict as predict_mod
+
+    cfg, params, _, _ = _problem(M=8, Q=4)
+    rng = np.random.RandomState(9)
+    X_list = [rng.rand(48, 1), rng.rand(37, 1)]
+    m_ref, v_ref = predict_mod.predictive(params, cfg, X_list)
+
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=4)
+    placed = jax.tree_util.tree_map(
+        jax.device_put, params, sharding.param_shardings(mesh, params))
+    assert not placed.q_mu.sharding.is_fully_replicated
+    m_sh, v_sh = predict_mod.predictive_sharded(placed, cfg, X_list, mesh)
+    for t in range(cfg.num_tasks):
+        np.testing.assert_allclose(np.asarray(m_sh[t]), np.asarray(m_ref[t]),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(v_sh[t]), np.asarray(v_ref[t]),
+                                   rtol=1e-11, atol=1e-13)
+
+
+def test_svmogp_predictive_mesh_entry():
+    """SVMOGP.predictive(mesh=...) routes through the sharded path and
+    rejects the projected path."""
+    import pytest
+
+    from hetmogp_tpu import SVMOGP
+    from hetmogp_tpu import likelihoods as L_
+
+    rng = np.random.RandomState(1)
+    cfg = ModelConfig(likelihoods=(L_.HetGaussian(), L_.Bernoulli()),
+                      num_latent=2, num_inducing=8, input_dim=1,
+                      dtype="float64")
+    X = [rng.rand(40, 1), rng.rand(40, 1)]
+    Y = [rng.randn(40, 1), (rng.rand(40, 1) > 0.5).astype(float)]
+    m = SVMOGP(cfg, X, Y, np.linspace(0, 1, 8)[:, None],
+               key=jax.random.PRNGKey(0), lengthscale=0.3)
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    Xp = [rng.rand(21, 1), rng.rand(16, 1)]
+    m_ref, v_ref = m.predictive(Xp)
+    m_sh, v_sh = m.predictive(Xp, mesh=mesh)
+    for t in range(2):
+        np.testing.assert_allclose(np.asarray(m_sh[t]), np.asarray(m_ref[t]),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(v_sh[t]), np.asarray(v_ref[t]),
+                                   rtol=1e-12)
+    with pytest.raises(ValueError):
+        m.predictive(Xp, projected=True, mesh=mesh)
