@@ -152,8 +152,9 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
         prec = (jax.lax.Precision.HIGH
                 if config.ve_fwd_precision == "high"
                 else jax.lax.Precision.HIGHEST)
-        P = jnp.einsum("qnm,qkm->qnk", Kfu, iLuu,
-                       precision=prec)  # Kfu @ iLuu^T
+        # Kfu @ iLuu^T skipping iLuu's structurally-zero upper blocks
+        # (1.52x on this op at bench shapes — linalg.matmul_tril_t)
+        P = linalg.matmul_tril_t(Kfu, iLuu, precision=prec)
     else:
         R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))  # Luu^{-1} Kuf
         P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
@@ -164,8 +165,8 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
                    - jnp.sum(jnp.square(P), axis=-1))
     else:
         if iLuu is not None:
-            A = jnp.einsum("qnm,qmk->qnk", P, iLuu,  # P @ iLuu = Kfu Kuu^-1
-                           precision=jax.lax.Precision.HIGHEST)
+            A = linalg.matmul_tril(P, iLuu,  # P @ iLuu = Kfu Kuu^-1
+                                   precision=jax.lax.Precision.HIGHEST)
         else:
             A = jnp.swapaxes(
                 linalg.solve_tri(Luu, jnp.swapaxes(P, -1, -2), trans=True),

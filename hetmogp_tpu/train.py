@@ -899,7 +899,7 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     hi = jax.lax.Precision.HIGHEST
     Lq = jnp.tril(params.q_sqrt)
     m = params.q_mu
-    S = jnp.matmul(Lq, jnp.swapaxes(Lq, -1, -2), precision=hi)
+    S = linalg.matmul_tril_t(Lq, Lq, precision=hi)
     if Luu is None:
         Luu = elbo_mod.prior_cholesky(params, config)
 
@@ -923,7 +923,7 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     Mi = config.num_inducing
     eye = jnp.eye(Mi, dtype=S.dtype)
     iLq = linalg.rec_tri_inverse(Lq)
-    S_inv = jnp.einsum("qkm,qkn->qmn", iLq, iLq, precision=hi)
+    S_inv = linalg.tril_t_matmul(iLq, iLq, precision=hi)  # iLq^T @ iLq
     # whitened KL = 0.5 (tr S + |m|^2 - M - logdet S), analytic gradients
     kl = jnp.sum(0.5 * (jnp.trace(S, axis1=-2, axis2=-1)
                         + jnp.sum(jnp.square(m), axis=-1)

@@ -307,3 +307,57 @@ class TestBlockedKernels:
         L_ref = elbo_mod.prior_cholesky(params, cfg)
         np.testing.assert_allclose(np.asarray(L_blk), np.asarray(L_ref),
                                    atol=1e-10)
+
+
+class TestTriangularMatmuls:
+    """Blocked triangular-structure-aware matmuls == their dense forms.
+
+    These carry the VE fast path's dominant op (P = Kfu @ iLuu^T,
+    models/elbo.py latent_projections) and the VM cached adjoints
+    (solve_tri_cached / chol_cached backward) — skipping the triangular
+    operand's structurally-zero blocks is exact, not an approximation.
+    """
+
+    def _mats(self, m, q=3, n=41, seed=0):
+        rng = np.random.RandomState(seed)
+        A = jnp.asarray(rng.randn(q, n, m))
+        L = jnp.tril(jnp.asarray(rng.randn(q, m, m)))
+        B = jnp.asarray(rng.randn(q, m, 17))
+        return A, L, B
+
+    def test_blocked_forms_match_dense(self):
+        # m=1024 exercises the blocked path (nb=256); m=100 the fallback
+        for m in (1024, 100):
+            A, L, B = self._mats(m)
+            np.testing.assert_allclose(
+                np.asarray(linalg.matmul_tril_t(A, L)),
+                np.asarray(jnp.einsum("qnm,qkm->qnk", A, L)),
+                rtol=1e-12, atol=1e-9)
+            np.testing.assert_allclose(
+                np.asarray(linalg.matmul_tril(A, L)), np.asarray(A @ L),
+                rtol=1e-12, atol=1e-9)
+            np.testing.assert_allclose(
+                np.asarray(linalg.tril_matmul(L, B)), np.asarray(L @ B),
+                rtol=1e-12, atol=1e-9)
+            np.testing.assert_allclose(
+                np.asarray(linalg.tril_t_matmul(L, B)),
+                np.asarray(jnp.swapaxes(L, -1, -2) @ B),
+                rtol=1e-12, atol=1e-9)
+
+    def test_blocked_forms_differentiable(self):
+        A, L, _ = self._mats(512, n=7)
+
+        def f(a, l):
+            return jnp.sum(jnp.square(linalg.matmul_tril_t(a, jnp.tril(l))))
+
+        ga, gl = jax.grad(f, argnums=(0, 1))(A, L)
+
+        def f_dense(a, l):
+            lt = jnp.tril(l)
+            return jnp.sum(jnp.square(jnp.einsum("qnm,qkm->qnk", a, lt)))
+
+        ga_d, gl_d = jax.grad(f_dense, argnums=(0, 1))(A, L)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_d),
+                                   rtol=1e-10, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_d),
+                                   rtol=1e-10, atol=1e-9)
