@@ -63,13 +63,13 @@ def _workload_params():
         # different workload and must never masquerade as the flagship
         return ("svi_steps_per_sec_quick_N6e4_M128_Q2_6lik", dict(
             N_per=10_000, M=128, Q=2, B=256, steps_per_call=20, calls=2))
-    # steps_per_call=250: fixed per-call dispatch overhead over the tunnel
-    # (~15-20 ms at current RTT) stays under 2% of a call — at 100-step
-    # calls it shaved ~9% off the reported rate once the step dropped
-    # towards 2 ms (measured 494 at 100-step vs 543 at 250-step calls in
-    # the same session)
+    # steps_per_call=1000: fixed per-call dispatch overhead over the
+    # tunnel (measured ~26 ms per call at this session's RTT, constant in
+    # the step count) stays under 2% of a call — at 100-step calls it
+    # shaved ~9% off the reported rate once the step dropped toward 2 ms
+    # (494 at 100-step vs 543 at 250-step calls in the same session)
     return ("svi_steps_per_sec_N1e6_M1024_Q4_6lik", dict(
-        N_per=1_000_000 // 6, M=1024, Q=4, B=512, steps_per_call=250,
+        N_per=1_000_000 // 6, M=1024, Q=4, B=512, steps_per_call=1000,
         calls=5))
 
 
@@ -245,9 +245,10 @@ def worker(argv):
             # DESIGN.md §7d)
             prec = "high" if M >= 2048 else "highest"
             # steps_per_call large enough that fixed per-call dispatch
-            # overhead (~15-20 ms over the tunnel) stays <2% of a call:
+            # overhead (measured ~26 ms per call at this session's tunnel
+            # RTT, constant in the step count) stays <2% of a call:
             # 50-step calls were measured ~15% under the long-run rate
-            spc = 100 if M >= 2048 else 250
+            spc = 250 if M >= 2048 else 1000
             res = run_workload(f"svi_steps_per_sec_sweep_M{M}",
                                N_per=1_000_000 // 6, M=M, Q=4, B=512,
                                steps_per_call=spc, calls=3,
