@@ -68,9 +68,16 @@ def _workload_params():
     # the step count) stays under 2% of a call — at 100-step calls it
     # shaved ~9% off the reported rate once the step dropped toward 2 ms
     # (494 at 100-step vs 543 at 250-step calls in the same session)
+    # ve_fwd_precision="high": the VE projection P = Kfu @ iLuu^T as a
+    # 3-pass instead of 6-pass bf16 matmul.  Adopted at M=1024 after the
+    # same diligence as the M=2048 sweep point (DESIGN.md §7d/§7e): 1500-
+    # step trajectory A/B matches HIGHEST to <2e-3 relative at every
+    # per-100 checkpoint (final checkpoints within minibatch noise), and a
+    # 10k-step run is finite and stable (+10.6% steps/s).  The ModelConfig
+    # default remains "highest" (safe default for unknown conditioning).
     return ("svi_steps_per_sec_N1e6_M1024_Q4_6lik", dict(
         N_per=1_000_000 // 6, M=1024, Q=4, B=512, steps_per_call=1000,
-        calls=5))
+        calls=5, ve_fwd_precision="high"))
 
 
 def _flops_of(runner, *args):
@@ -243,7 +250,7 @@ def worker(argv):
             # precision is the measured adoption for this regime (+18%,
             # trajectory-equivalent to HIGHEST — ModelConfig docstring /
             # DESIGN.md §7d)
-            prec = "high" if M >= 2048 else "highest"
+            prec = "high" if M >= 1024 else "highest"
             # steps_per_call large enough that fixed per-call dispatch
             # overhead (measured ~26 ms per call at this session's tunnel
             # RTT, constant in the step count) stays <2% of a call:

@@ -14,7 +14,8 @@ import numpy as np
 
 
 def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
-        N_per=4096, vm_batch_fraction=0.25):
+        N_per=4096, vm_batch_fraction=0.25, optimizer="adam",
+        ve_fwd_precision="highest"):
     import jax
     from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
                              HetGaussian, ModelConfig, Poisson, TrainConfig)
@@ -38,10 +39,12 @@ def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
     ]
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
-                      adaptive_jitter=False)
-    tc = TrainConfig(optimizer="adam", step_rate=0.005, minibatch="slice",
+                      adaptive_jitter=False,
+                      ve_fwd_precision=ve_fwd_precision)
+    kw = dict(natgrad_lr=0.1) if optimizer.startswith("natgrad") else {}
+    tc = TrainConfig(optimizer=optimizer, step_rate=0.005, minibatch="slice",
                      vm_batch_fraction=vm_batch_fraction,
-                     ve_steps_per_vm=ve_steps_per_vm)
+                     ve_steps_per_vm=ve_steps_per_vm, **kw)
     Z = rng.rand(M, Dx).astype(np.float32)
     params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
                          variance=0.5, q_mu_scale=0.1)
@@ -74,6 +77,12 @@ if __name__ == "__main__":
                  ("alternating 1:1", dict(ve_steps_per_vm=1)),
                  ("4:1, vm full batch", dict(ve_steps_per_vm=4,
                                              vm_batch_fraction=1.0))]
+    if "--natgrad" in sys.argv:
+        scenarios = [("natgrad 4:1 mix", dict(ve_steps_per_vm=4,
+                                              optimizer="natgrad_adam"))]
+    if "--high" in sys.argv:
+        scenarios = [(f"{n} (HIGH fwd)", {**kw, "ve_fwd_precision": "high"})
+                     for n, kw in scenarios]
     if "--m2048" in sys.argv:
         scenarios = [(f"M=2048 {n}", {**kw, "M": 2048, "steps_per_call": 50})
                      for n, kw in scenarios[:3]]
