@@ -123,19 +123,30 @@ def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
         return _ve_raw(y, m, v)
 
     def ve_fwd(y, m, v):
-        return _ve_raw(y, m, v), (y, m, v)
-
-    def ve_bwd(res, g):
-        y, m, v = res
+        # One fused grid sweep produces the value AND the reduced (N, J)
+        # derivative expectations: lp, dlogp and d2logp share their
+        # transcendental subexpressions (e.g. exp(f) for Poisson appears
+        # in all three), which XLA CSE can only exploit when they live in
+        # the same program.  Residuals are the tiny reduced tensors, so
+        # the backward is two elementwise multiplies — the grid is never
+        # re-expanded or re-evaluated (the previous engine re-ran both
+        # derivative grids in the backward pass).
         nodes = jnp.asarray(nodes_np, dtype=m.dtype)
         w = jnp.asarray(weights_np, dtype=m.dtype)
         F = _expand_nodes(m, v, nodes)
+        lp = _logpdf_batch(logpdf, F, y)
         per_point_d1 = jax.vmap(dlogp, in_axes=(0, None))
         d1 = jax.vmap(per_point_d1, in_axes=(0, 0))(F, y)  # (N,S,J)
         per_point_d2 = jax.vmap(d2logp, in_axes=(0, None))
         d2 = jax.vmap(per_point_d2, in_axes=(0, 0))(F, y)  # (N,S,J)
-        dm = jnp.einsum("nsj,s->nj", d1, w) * g[:, None]
-        dv = 0.5 * jnp.einsum("nsj,s->nj", d2, w) * g[:, None]
+        Ed1 = jnp.einsum("nsj,s->nj", d1, w)
+        Ed2 = jnp.einsum("nsj,s->nj", d2, w)
+        return lp @ w, (y, Ed1, Ed2)
+
+    def ve_bwd(res, g):
+        y, Ed1, Ed2 = res
+        dm = Ed1 * g[:, None]
+        dv = 0.5 * Ed2 * g[:, None]
         return jnp.zeros_like(y), dm, dv
 
     ve.defvjp(ve_fwd, ve_bwd)
@@ -178,22 +189,28 @@ def make_var_exp_theta(logpdf_t, J: int, T: int, mc_samples: int = 0):
         return _ve_raw(y, m, v, theta)
 
     def ve_fwd(y, m, v, theta):
-        return _ve_raw(y, m, v, theta), (y, m, v, theta)
-
-    def ve_bwd(res, g):
-        y, m, v, theta = res
+        # fused single grid sweep; see make_var_exp's ve_fwd
         nodes = jnp.asarray(nodes_np, dtype=m.dtype)
         w = jnp.asarray(weights_np, dtype=m.dtype)
         F = _expand_nodes(m, v, nodes)
+        per_point = jax.vmap(logpdf_t, in_axes=(0, None, None))
+        lp = jax.vmap(per_point, in_axes=(0, 0, None))(F, y, theta)
         d1 = jax.vmap(jax.vmap(dlogp, in_axes=(0, None, None)),
                       in_axes=(0, 0, None))(F, y, theta)  # (N,S,J)
         d2 = jax.vmap(jax.vmap(_d2, in_axes=(0, None, None)),
                       in_axes=(0, 0, None))(F, y, theta)  # (N,S,J)
         dt = jax.vmap(jax.vmap(dtheta_fn, in_axes=(0, None, None)),
                       in_axes=(0, 0, None))(F, y, theta)  # (N,S,P)
-        dm = jnp.einsum("nsj,s->nj", d1, w) * g[:, None]
-        dv = 0.5 * jnp.einsum("nsj,s->nj", d2, w) * g[:, None]
-        dth = jnp.einsum("nsp,s,n->p", dt, w, g)
+        Ed1 = jnp.einsum("nsj,s->nj", d1, w)
+        Ed2 = jnp.einsum("nsj,s->nj", d2, w)
+        Edt = jnp.einsum("nsp,s->np", dt, w)
+        return lp @ w, (y, Ed1, Ed2, Edt)
+
+    def ve_bwd(res, g):
+        y, Ed1, Ed2, Edt = res
+        dm = Ed1 * g[:, None]
+        dv = 0.5 * Ed2 * g[:, None]
+        dth = jnp.einsum("np,n->p", Edt, g)
         return jnp.zeros_like(y), dm, dv, dth
 
     ve.defvjp(ve_fwd, ve_bwd)
