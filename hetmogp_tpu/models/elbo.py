@@ -93,6 +93,23 @@ def prior_cholesky(params: SVMOGPParams, config: ModelConfig,
                           adaptive=config.adaptive_jitter)
 
 
+def prior_cholesky_inverse(params: SVMOGPParams, config: ModelConfig):
+    """(Luu, Luu^{-1}) for the fast-projection cache, fused when possible.
+
+    On the fixed-jitter working-dtype path the factorization and the
+    triangular inverse share their (nb, nb) panel inverses
+    (linalg.blocked_cholesky_inverse); otherwise falls back to the
+    separate prior_cholesky + rec_tri_inverse pair.
+    """
+    if (not config.adaptive_jitter) and config.chol_dtype != "float64":
+        Kuu = kernels.K_gram_batched(config.kernel, params.Z,
+                                     params.lengthscale, params.variance)
+        eye = jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype)
+        return linalg.blocked_cholesky_inverse(Kuu + config.jitter * eye)
+    Luu = prior_cholesky(params, config, blocked=True)
+    return Luu, linalg.rec_tri_inverse(Luu)
+
+
 def latent_projections(params: SVMOGPParams, config: ModelConfig,
                        Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None,
                        q_moments=None, cache_grad: bool = False):

@@ -383,6 +383,77 @@ def _blocked_cholesky_single(A: jnp.ndarray, nb: int) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=1)
 
 
+def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
+    """(L, inv(L)) of one (m, m) SPD matrix, sharing the panel inverses.
+
+    The left-looking factorization already inverts every (nb, nb) diagonal
+    block (for the below-panel update); the triangular inverse is then
+    assembled from those SAME inverses by a blocked forward substitution —
+    row strip i: iL[i, :i] = -iLkk_i (L[i, :i] @ iL[:i, :i]) — so the
+    separate InvertDiagBlocksLowerTriangular custom call (and its leaf
+    solves) that ``rec_tri_inverse`` pays never runs.  All off-diagonal
+    work is HIGHEST-precision MXU matmuls.
+    """
+    m = A.shape[-1]
+    dt = A.dtype
+    Lleft = None
+    cols = []
+    iLkks = []
+    for j in range(m // nb):
+        r0 = j * nb
+        Aj = A[r0:, r0:r0 + nb]
+        if Lleft is not None:
+            acc = Aj - jnp.matmul(Lleft[r0:, :], Lleft[r0:r0 + nb, :].T,
+                                  precision=_HI)
+        else:
+            acc = Aj
+        Lkk = jnp.linalg.cholesky(acc[:nb])
+        iLkk = jax.scipy.linalg.solve_triangular(
+            Lkk, jnp.eye(nb, dtype=dt), lower=True)
+        below = jnp.matmul(acc[nb:], iLkk.T, precision=_HI)
+        colj = jnp.concatenate(
+            [jnp.zeros((r0, nb), dt), Lkk, below], axis=0)
+        cols.append(colj)
+        iLkks.append(iLkk)
+        Lleft = colj if Lleft is None else jnp.concatenate(
+            [Lleft, colj], axis=1)
+    L = jnp.concatenate(cols, axis=1)
+    # inverse assembly: iL_top is the growing (i*nb, i*nb) top-left block
+    iL_top = iLkks[0]
+    for i in range(1, m // nb):
+        r0 = i * nb
+        strip = -jnp.matmul(
+            iLkks[i], jnp.matmul(L[r0:r0 + nb, :r0], iL_top, precision=_HI),
+            precision=_HI)  # (nb, r0)
+        top = jnp.concatenate(
+            [iL_top, jnp.zeros((r0, nb), dt)], axis=1)
+        bot = jnp.concatenate([strip, iLkks[i]], axis=1)
+        iL_top = jnp.concatenate([top, bot], axis=0)
+    return L, iL_top
+
+
+def blocked_cholesky_inverse(K: jnp.ndarray, nb: int = 128):
+    """(chol(K), inv(chol(K))) for (..., M, M) SPD K, fused and blocked.
+
+    The trainer's VE-cache refresh needs both; computing them together
+    reuses the factorization's panel inverses (see the single-matrix
+    helper).  Falls back to the separate stock kernels when M is too
+    small or not divisible by nb.  Failure surfaces as NaNs (like the
+    fixed-jitter jitchol path), not an exception.
+    """
+    m = K.shape[-1]
+    if m % nb or m <= nb:
+        L = jnp.linalg.cholesky(K)
+        eye = jnp.eye(m, dtype=K.dtype)
+        iL = jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+        return L, iL
+    f = _blocked_cholesky_inverse_single
+    for _ in range(K.ndim - 2):
+        f = jax.vmap(f, in_axes=(0, None))
+    return f(K, nb)
+
+
 def blocked_cholesky(K: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
     """Cholesky of (..., M, M) SPD matrices, blocked onto the MXU.
 

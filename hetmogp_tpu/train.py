@@ -158,10 +158,19 @@ def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
                      fast_projection: bool = True) -> TrainState:
-    Luu = _prior_cholesky_jit(params, config) if cache_luu else None
-    iLuu = _tri_inverse(Luu) if (cache_luu and fast_projection) else None
+    if cache_luu and fast_projection:
+        Luu, iLuu = _prior_cholesky_inverse_jit(params, config)
+    else:
+        Luu = _prior_cholesky_jit(params, config) if cache_luu else None
+        iLuu = None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
                       iLuu)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _prior_cholesky_inverse_jit(params: SVMOGPParams, config: ModelConfig):
+    """Jitted fused (Luu, iLuu) for train-state initialization."""
+    return elbo_mod.prior_cholesky_inverse(params, config)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -447,11 +456,14 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 return state.Luu, state.iLuu
 
             def refresh(p):
-                L = elbo_mod.prior_cholesky(p, config, blocked=True)
                 # keep the inverse alive iff the state carries one (it may
                 # be present but unused when fast_projection is off)
-                return L, (_tri_inverse(L) if state.iLuu is not None
-                           else None)
+                if state.iLuu is None:
+                    return elbo_mod.prior_cholesky(p, config,
+                                                   blocked=True), None
+                # fused factorization + inverse: shares the (nb, nb) panel
+                # inverses, no separate InvertDiagBlocks custom call
+                return elbo_mod.prior_cholesky_inverse(p, config)
 
             Luu_next, iLuu_next = jax.lax.cond(is_ve, keep, refresh, params)
         else:
@@ -856,23 +868,6 @@ def _as_batch(X_list, Y_list, config: ModelConfig):
 # natural gradients for whitened q(u)
 # ---------------------------------------------------------------------------
 
-def _natgrad_chol(config: ModelConfig):
-    if config.adaptive_jitter:
-        return linalg.jitchol
-
-    # throughput mode: the adaptive while_loop would serialize the scan
-    # pipeline (same rationale as the prior factorization); blocked
-    # form keeps the per-step O(M^3) factorizations on the MXU.
-    # The fixed config.jitter floor matches prior_cholesky's
-    # fixed-jitter branch — dropping it would NaN on marginally
-    # indefinite operands at f32 roundoff.
-    def chol(K):
-        j_eye = config.jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
-        return linalg.blocked_cholesky(K + j_eye)
-
-    return chol
-
-
 def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
                     lr: float, Luu=None, iLuu=None):
     """Fused natural-gradient VE step on the whitened q(u).
@@ -944,10 +939,20 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     # (J L_r^{-1} J)^T is lower-triangular with positive diagonal — i.e.
     # exactly chol(S_new) (uniqueness), without ever forming S_new or
     # running a second Cholesky.  m_new = S_new theta1 becomes two matvecs.
-    chol = _natgrad_chol(config)
-    L_r = chol(A[..., ::-1, ::-1])
-    L_new = jnp.swapaxes(
-        linalg.rec_tri_inverse(L_r)[..., ::-1, ::-1], -1, -2)
+    if config.adaptive_jitter:
+        L_r = linalg.jitchol(A[..., ::-1, ::-1])
+        iL_r = linalg.rec_tri_inverse(L_r)
+    else:
+        # throughput mode: fused blocked factorization + inverse (shared
+        # panel inverses).  The fixed config.jitter floor matches
+        # prior_cholesky's fixed-jitter branch — dropping it would NaN on
+        # marginally indefinite operands at f32 roundoff; the adaptive
+        # while_loop branch above is kept for oracle mode (it would
+        # serialize the scan pipeline in throughput mode).
+        j_eye = config.jitter * jnp.eye(Mi, dtype=A.dtype)
+        L_r, iL_r = linalg.blocked_cholesky_inverse(
+            A[..., ::-1, ::-1] + j_eye)
+    L_new = jnp.swapaxes(iL_r[..., ::-1, ::-1], -1, -2)
     m_new = jnp.einsum("qmk,qk->qm", L_new,
                        jnp.einsum("qkm,qk->qm", L_new, theta1_new))
     new_params = params.replace(q_mu=m_new, q_sqrt=L_new)

@@ -361,3 +361,19 @@ class TestTriangularMatmuls:
                                    rtol=1e-10, atol=1e-9)
         np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_d),
                                    rtol=1e-10, atol=1e-9)
+
+
+def test_blocked_cholesky_inverse_matches_separate_kernels():
+    """Fused (L, iL) == stock cholesky + triangular solve, incl. fallback."""
+    rng = np.random.RandomState(11)
+    for m in (256, 100):
+        A = rng.randn(3, m, 2 * m)
+        K = jnp.asarray(A @ A.transpose(0, 2, 1) / m + 3.0 * np.eye(m))
+        L, iL = linalg.blocked_cholesky_inverse(K, nb=128)
+        L_ref = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-9)
+        for q in range(3):
+            np.testing.assert_allclose(
+                np.asarray(iL[q]) @ L_ref[q], np.eye(m), atol=1e-8)
+        # iL is exactly lower triangular (zero blocks are structural)
+        assert np.all(np.triu(np.asarray(iL), 1) == 0.0)
