@@ -246,10 +246,11 @@ def worker(argv):
         # M-scaling sweep (VERDICT r2 #6): quick-sized call counts, one
         # JSON line per point under per-M metric names
         for M in (512, 1024, 2048):
-            # M=2048: VE-forward projections dominate the step; HIGH
-            # precision is the measured adoption for this regime (+18%,
-            # trajectory-equivalent to HIGHEST — ModelConfig docstring /
-            # DESIGN.md §7d)
+            # M>=1024: VE-forward projections dominate the step; HIGH
+            # precision is the measured adoption for both regimes —
+            # M=2048: +18% with trajectory parity (DESIGN.md §7d);
+            # M=1024: +10.6%, 1500-step A/B <2e-3 per-checkpoint plus a
+            # 10k-step stability run (DESIGN.md §7e / _workload_params)
             prec = "high" if M >= 1024 else "highest"
             # steps_per_call large enough that fixed per-call dispatch
             # overhead (measured ~26 ms per call at this session's tunnel

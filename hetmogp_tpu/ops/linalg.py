@@ -301,7 +301,36 @@ def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
 
 
-@jax.custom_vjp
+@jax.custom_jvp
+def _quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    AL = matmul_tril(A, L)
+    return jnp.sum(jnp.square(AL), axis=-1)
+
+
+@_quad_diag.defjvp
+def _quad_diag_jvp(primals, tangents):
+    # The L-tangent enters via a DENSE masked matmul: autodiff of the
+    # blocked forward would assemble the (M, M) L-cotangent from
+    # variable-width per-block adjoints (concat + {1,2,0}->{2,1,0}
+    # relayout copies, measured ~0.1 ms/step at bench shapes in the
+    # profiler trace), while transposing A @ tril(dL) emits it as ONE
+    # dense matmul + mask.  tril(dL) keeps the derivative exactly equal
+    # to the value function's (zero w.r.t. the ignored strictly-upper
+    # entries).  custom_jvp (not custom_vjp) so forward-mode autodiff
+    # through the prediction paths keeps working; reverse mode arrives by
+    # transposition of this linear tangent map, and the A-cotangent path
+    # (transpose of matmul_tril(dA, L)) is dropped by XLA when unused —
+    # e.g. VE steps, where A is constant.
+    A, L = primals
+    dA, dL = tangents
+    AL = matmul_tril(A, L)
+    out = jnp.sum(jnp.square(AL), axis=-1)
+    dAL = matmul_tril(dA, L) + jnp.matmul(A, jnp.tril(dL))
+    dout = 2.0 * jnp.sum(AL * dAL, axis=-1)
+    return out, dout
+
+
+@jax.jit
 def quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     """diag(A S A^T) with S = L L^T, batched: (..., N, M),( ..., M, M) -> (..., N).
 
@@ -309,32 +338,14 @@ def quad_diag(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     (svmogp_inf.py:209,219) although training only ever consumes its
     diagonal; here only the diagonal is formed.  L must be LOWER
     triangular (every caller passes a jnp.tril'd factor): the matmul
-    skips its structurally-zero blocks.
+    skips its structurally-zero blocks, and the strictly-upper entries
+    have exactly zero derivative (see _quad_diag_jvp).
 
-    custom VJP: autodiff of the blocked forward would assemble the (M, M)
-    L-cotangent from variable-width per-block adjoints (concat + relayout
-    copies measured ~0.1 ms/step at bench shapes); the hand VJP emits it
-    as ONE dense matmul instead, and the A-cotangent through the blocked
-    form (XLA drops it when unused — e.g. VE steps, where A is constant).
+    jitted: the blocked forward is an eager slice+concat chain otherwise,
+    which can hit backend InvalidArgument over a remote TPU tunnel (same
+    issue as _tri_inverse; train.py docstrings).
     """
-    AL = matmul_tril(A, L)
-    return jnp.sum(jnp.square(AL), axis=-1)
-
-
-def _quad_diag_fwd(A, L):
-    AL = matmul_tril(A, L)
-    return jnp.sum(jnp.square(AL), axis=-1), (A, L, AL)
-
-
-def _quad_diag_bwd(res, g):
-    A, L, AL = res
-    G2 = (2.0 * g)[..., None] * AL  # (..., N, M)
-    dA = matmul_tril_t(G2, L)  # G2 @ L^T, skipping L's zero blocks
-    dL = jnp.einsum("...nm,...nk->...mk", A, G2)
-    return dA, dL
-
-
-quad_diag.defvjp(_quad_diag_fwd, _quad_diag_bwd)
+    return _quad_diag(A, L)
 
 
 # ---------------------------------------------------------------------------
@@ -352,47 +363,15 @@ quad_diag.defvjp(_quad_diag_fwd, _quad_diag_bwd)
 # fully differentiable (composed of differentiable primitives) but the
 # custom-VJP cached adjoints remain the intended gradient path.
 
-def _blocked_cholesky_single(A: jnp.ndarray, nb: int) -> jnp.ndarray:
-    """Left-looking blocked Cholesky of one (m, m) SPD matrix.
+def _blocked_cholesky_panels(A: jnp.ndarray, nb: int):
+    """Left-looking blocked factorization of one (m, m) SPD matrix.
 
-    Block columns accumulate in separate arrays (one concatenate at the
-    end): repeated in-place updates of the full (m, m) buffer were measured
-    ~50% slower on TPU.
-    """
-    m = A.shape[-1]
-    dt = A.dtype
-    Lleft = None  # (m, j*nb): block columns factored so far
-    cols = []
-    for j in range(m // nb):
-        r0 = j * nb
-        Aj = A[r0:, r0:r0 + nb]
-        if Lleft is not None:
-            acc = Aj - jnp.matmul(Lleft[r0:, :], Lleft[r0:r0 + nb, :].T,
-                                  precision=_HI)
-        else:
-            acc = Aj
-        Lkk = jnp.linalg.cholesky(acc[:nb])
-        iLkk = jax.scipy.linalg.solve_triangular(
-            Lkk, jnp.eye(nb, dtype=dt), lower=True)
-        below = jnp.matmul(acc[nb:], iLkk.T, precision=_HI)
-        colj = jnp.concatenate(
-            [jnp.zeros((r0, nb), dt), Lkk, below], axis=0)
-        cols.append(colj)
-        Lleft = colj if Lleft is None else jnp.concatenate(
-            [Lleft, colj], axis=1)
-    return jnp.concatenate(cols, axis=1)
-
-
-def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
-    """(L, inv(L)) of one (m, m) SPD matrix, sharing the panel inverses.
-
-    The left-looking factorization already inverts every (nb, nb) diagonal
-    block (for the below-panel update); the triangular inverse is then
-    assembled from those SAME inverses by a blocked forward substitution —
-    row strip i: iL[i, :i] = -iLkk_i (L[i, :i] @ iL[:i, :i]) — so the
-    separate InvertDiagBlocksLowerTriangular custom call (and its leaf
-    solves) that ``rec_tri_inverse`` pays never runs.  All off-diagonal
-    work is HIGHEST-precision MXU matmuls.
+    Returns (L, iLkks): the full factor and the list of inverted (nb, nb)
+    diagonal panels (a byproduct of the below-panel update) — shared by
+    ``blocked_cholesky`` and ``blocked_cholesky_inverse`` so the two
+    never diverge.  Block columns accumulate in separate arrays (one
+    concatenate at the end): repeated in-place updates of the full (m, m)
+    buffer were measured ~50% slower on TPU.
     """
     m = A.shape[-1]
     dt = A.dtype
@@ -417,10 +396,25 @@ def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
         iLkks.append(iLkk)
         Lleft = colj if Lleft is None else jnp.concatenate(
             [Lleft, colj], axis=1)
-    L = jnp.concatenate(cols, axis=1)
+    return jnp.concatenate(cols, axis=1), iLkks
+
+
+def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
+    """(L, inv(L)) of one (m, m) SPD matrix, sharing the panel inverses.
+
+    The left-looking factorization already inverts every (nb, nb) diagonal
+    block (for the below-panel update); the triangular inverse is then
+    assembled from those SAME inverses by a blocked forward substitution —
+    row strip i: iL[i, :i] = -iLkk_i (L[i, :i] @ iL[:i, :i]) — so the
+    separate InvertDiagBlocksLowerTriangular custom call (and its leaf
+    solves) that ``rec_tri_inverse`` pays never runs.  All off-diagonal
+    work is HIGHEST-precision MXU matmuls.
+    """
+    dt = A.dtype
+    L, iLkks = _blocked_cholesky_panels(A, nb)
     # inverse assembly: iL_top is the growing (i*nb, i*nb) top-left block
     iL_top = iLkks[0]
-    for i in range(1, m // nb):
+    for i in range(1, A.shape[-1] // nb):
         r0 = i * nb
         strip = -jnp.matmul(
             iLkks[i], jnp.matmul(L[r0:r0 + nb, :r0], iL_top, precision=_HI),
@@ -464,7 +458,9 @@ def blocked_cholesky(K: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
     m = K.shape[-1]
     if m % nb or m <= nb:
         return jnp.linalg.cholesky(K)
-    f = _blocked_cholesky_single
+    def f(A, nb):
+        return _blocked_cholesky_panels(A, nb)[0]
+
     for _ in range(K.ndim - 2):
         f = jax.vmap(f, in_axes=(0, None))
     return f(K, nb)

@@ -111,11 +111,15 @@ def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
     dlogp = jax.grad(logpdf, argnums=0)
     d2logp = _diag_hessian(logpdf)
 
-    def _ve_raw(y, m, v):
+    def _grid(y, m, v):
+        # shared F-grid expansion + logpdf sweep for primal and fwd
         nodes = jnp.asarray(nodes_np, dtype=m.dtype)
         w = jnp.asarray(weights_np, dtype=m.dtype)
         F = _expand_nodes(m, v, nodes)
-        lp = _logpdf_batch(logpdf, F, y)
+        return F, w, _logpdf_batch(logpdf, F, y)
+
+    def _ve_raw(y, m, v):
+        _, w, lp = _grid(y, m, v)
         return lp @ w
 
     @jax.custom_vjp
@@ -131,10 +135,7 @@ def make_var_exp(logpdf, J: int, T: int, mc_samples: int = 0):
         # the backward is two elementwise multiplies — the grid is never
         # re-expanded or re-evaluated (the previous engine re-ran both
         # derivative grids in the backward pass).
-        nodes = jnp.asarray(nodes_np, dtype=m.dtype)
-        w = jnp.asarray(weights_np, dtype=m.dtype)
-        F = _expand_nodes(m, v, nodes)
-        lp = _logpdf_batch(logpdf, F, y)
+        F, w, lp = _grid(y, m, v)
         per_point_d1 = jax.vmap(dlogp, in_axes=(0, None))
         d1 = jax.vmap(per_point_d1, in_axes=(0, 0))(F, y)  # (N,S,J)
         per_point_d2 = jax.vmap(d2logp, in_axes=(0, None))
@@ -176,12 +177,17 @@ def make_var_exp_theta(logpdf_t, J: int, T: int, mc_samples: int = 0):
         H = jax.hessian(logpdf_t, argnums=0)(f, y, theta)
         return jnp.diagonal(H)
 
-    def _ve_raw(y, m, v, theta):
+    def _grid_t(y, m, v, theta):
+        # shared F-grid expansion + logpdf sweep for primal and fwd
         nodes = jnp.asarray(nodes_np, dtype=m.dtype)
         w = jnp.asarray(weights_np, dtype=m.dtype)
         F = _expand_nodes(m, v, nodes)
         per_point = jax.vmap(logpdf_t, in_axes=(0, None, None))
         lp = jax.vmap(per_point, in_axes=(0, 0, None))(F, y, theta)
+        return F, w, lp
+
+    def _ve_raw(y, m, v, theta):
+        _, w, lp = _grid_t(y, m, v, theta)
         return lp @ w
 
     @jax.custom_vjp
@@ -190,11 +196,7 @@ def make_var_exp_theta(logpdf_t, J: int, T: int, mc_samples: int = 0):
 
     def ve_fwd(y, m, v, theta):
         # fused single grid sweep; see make_var_exp's ve_fwd
-        nodes = jnp.asarray(nodes_np, dtype=m.dtype)
-        w = jnp.asarray(weights_np, dtype=m.dtype)
-        F = _expand_nodes(m, v, nodes)
-        per_point = jax.vmap(logpdf_t, in_axes=(0, None, None))
-        lp = jax.vmap(per_point, in_axes=(0, 0, None))(F, y, theta)
+        F, w, lp = _grid_t(y, m, v, theta)
         d1 = jax.vmap(jax.vmap(dlogp, in_axes=(0, None, None)),
                       in_axes=(0, 0, None))(F, y, theta)  # (N,S,J)
         d2 = jax.vmap(jax.vmap(_d2, in_axes=(0, None, None)),

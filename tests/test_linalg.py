@@ -377,3 +377,20 @@ def test_blocked_cholesky_inverse_matches_separate_kernels():
                 np.asarray(iL[q]) @ L_ref[q], np.eye(m), atol=1e-8)
         # iL is exactly lower triangular (zero blocks are structural)
         assert np.all(np.triu(np.asarray(iL), 1) == 0.0)
+
+
+def test_quad_diag_forward_mode_and_upper_grad():
+    """quad_diag supports jacfwd (custom_jvp, not custom_vjp) and its
+    gradient w.r.t. strictly-upper L entries is exactly zero — consistent
+    with the value function, which never reads them."""
+    rng = np.random.RandomState(3)
+    A = jnp.asarray(rng.randn(2, 5, 4))
+    L0 = jnp.asarray(rng.randn(2, 4, 4))
+
+    def f(l):
+        return jnp.sum(linalg.quad_diag(A, jnp.tril(l)))
+
+    np.testing.assert_allclose(np.asarray(jax.jacfwd(f)(L0)),
+                               np.asarray(jax.grad(f)(L0)), atol=1e-10)
+    g = jax.grad(lambda l: jnp.sum(linalg.quad_diag(A, l)))(L0)
+    assert np.all(np.triu(np.asarray(g), 1) == 0.0)
