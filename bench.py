@@ -168,16 +168,32 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
     params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
                          variance=0.5, q_mu_scale=0.1)
 
-    dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
-    dataset = jax.device_put(dataset)
-    task_sizes = tuple(int(td.X.shape[0]) for td in dataset)
+    # multi-chip: when more than one device is visible (e.g. a real
+    # v5e-8), shard the dataset/batch rows over a 1-D ('data',) mesh —
+    # the same code path the virtual-CPU sharding tests and the driver's
+    # dryrun_multichip exercise.  task_sizes stay the REAL row counts
+    # (padding rows added for even sharding are never sampled).
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1:
+        from hetmogp_tpu.parallel import sharding as _sh
+
+        mesh = _sh.data_mesh(jax.devices())
+    dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype,
+                            pad_multiple=(n_dev if mesh is not None else 1))
+    task_sizes = tuple([N_per] * T)
     runner = train_mod.make_scan_trainer(
         cfg, tc, task_sizes, tuple([B] * T), vem=True,
-        steps_per_call=steps_per_call)
+        steps_per_call=steps_per_call, mesh=mesh)
 
     optimizer = train_mod.make_optimizer(tc)
     state = init_train_state(params, cfg, optimizer, cache_luu=True,
                              fast_projection=tc.fast_projection)
+    if mesh is not None:
+        dataset = _sh.shard_batch(mesh, dataset)
+        state = _sh.shard_state(mesh, state)
+    else:
+        dataset = jax.device_put(dataset)
     key = jax.random.PRNGKey(1)
 
     # FLOP accounting must lower BEFORE the first call donates the state
@@ -210,6 +226,7 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 100.0, 4),
+        "devices": n_dev,
     }
     if total_flops is not None:
         flops_per_step = total_flops  # scan body counted once, see _flops_of
