@@ -82,3 +82,18 @@ def test_quick_mode_has_its_own_metric_name():
         assert "quick" in quick_name
     finally:
         sys.path.pop(0)
+
+
+def test_workload_auto_shards_on_multidevice_host():
+    """With >1 visible device, run_workload runs the sharded scan-trainer
+    path over a ('data',) mesh (the v5e-8 target) and records the device
+    count; the conftest's 8 virtual CPU devices stand in for real chips."""
+    import jax
+
+    import bench
+
+    assert jax.device_count() == 8
+    r = bench.run_workload("tiny_mesh_check", N_per=1000, M=32, Q=2, B=64,
+                           steps_per_call=4, calls=2)
+    assert r["devices"] == 8
+    assert r["value"] is not None and r["value"] > 0
