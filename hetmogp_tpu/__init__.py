@@ -38,8 +38,9 @@ from hetmogp_tpu.likelihoods import (
     Poisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
-from hetmogp_tpu.train import (plot_callback, print_callback, svi_fit,
-                               svi_fit_on_device, vem_algorithm)
+from hetmogp_tpu.train import (plot_callback, prepare_dataset_on_device,
+                               print_callback, svi_fit, svi_fit_on_device,
+                               vem_algorithm)
 from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
 from hetmogp_tpu.data import MinibatchStream, batch_scales
 
@@ -66,6 +67,7 @@ __all__ = [
     "init_params",
     "vem_algorithm",
     "svi_fit",
+    "prepare_dataset_on_device",
     "svi_fit_on_device",
     "save_checkpoint",
     "load_checkpoint",

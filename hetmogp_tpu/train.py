@@ -721,30 +721,54 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                    donate_argnums=(0,))
 
 
+def prepare_dataset_on_device(config: ModelConfig, X_list, Y_list,
+                              mesh=None):
+    """Assemble the full dataset once and place it on device(s).
+
+    Pads each task's rows to the mesh's data-axis size so the dataset
+    shards evenly (task_sizes stay the REAL counts: samplers draw in
+    [0, N_t) and the wraparound extension is inserted at N_t, so padding
+    rows are never sampled).  Returns a device-resident tuple of TaskData
+    reusable across svi_fit_on_device calls.
+    """
+    from hetmogp_tpu.data import full_batch
+
+    pad = int(mesh.shape["data"]) if mesh is not None else 1
+    dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype,
+                            pad_multiple=pad)
+    if mesh is not None:
+        from hetmogp_tpu.parallel import sharding as _sh
+
+        return _sh.shard_batch(mesh, dataset)
+    return jax.device_put(dataset)
+
+
 def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                       train_config: TrainConfig, X_list, Y_list,
                       batch_sizes, num_steps: int, *, key=None,
                       vem: bool = True, steps_per_call: int = 100,
-                      mesh=None):
+                      mesh=None, dataset=None):
     """Convenience wrapper over make_scan_trainer; returns (params, history).
 
     mesh: optional jax.sharding.Mesh — a 1-D ('data',) mesh shards batch
     rows across devices; a 2-D ('data','latent') mesh (parallel.model_mesh)
     additionally shards the Q-leading state over latent GPs.
-    """
-    from hetmogp_tpu.data import full_batch
 
+    dataset: optional prebuilt/device-resident tuple of TaskData (from
+    ``data.full_batch`` with ``pad_multiple=mesh.shape['data']`` when a
+    mesh is used, or a previous call via ``prepare_dataset_on_device``) —
+    skips the per-call host-side assembly + host->device transfer of the
+    full dataset, which dominates wall time for repeated calls at N~1e6
+    (e.g. train / checkpoint / resume loops).  task_sizes are still taken
+    from X_list, so pass the SAME X_list the dataset was built from.
+    """
     if isinstance(batch_sizes, int):
         batch_sizes = tuple([batch_sizes] * len(X_list))
     key = key if key is not None else jax.random.PRNGKey(train_config.seed)
-    # pad each task's rows to the data-axis size so the full dataset shards
-    # evenly; task_sizes stay the REAL counts (samplers draw in [0, N_t) and
-    # the wraparound extension is inserted at N_t, so padding rows are
-    # never sampled)
-    pad = int(mesh.shape["data"]) if mesh is not None else 1
-    dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype,
-                            pad_multiple=pad)
     task_sizes = tuple(int(np.shape(x)[0]) for x in X_list)
+    if dataset is None:
+        dataset = prepare_dataset_on_device(config, X_list, Y_list,
+                                            mesh=mesh)
     runner = make_scan_trainer(config, train_config, task_sizes,
                                tuple(batch_sizes), vem=vem,
                                steps_per_call=steps_per_call, mesh=mesh)
@@ -757,10 +781,7 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     if mesh is not None:
         from hetmogp_tpu.parallel import sharding as _sh
 
-        dataset = _sh.shard_batch(mesh, dataset)
         state = _sh.shard_state(mesh, state)
-    else:
-        dataset = jax.device_put(dataset)
     chunks = []
     done = 0
     while done + steps_per_call <= num_steps:

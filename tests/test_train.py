@@ -575,3 +575,33 @@ def test_vm_batch_fraction_unbiased_and_runs():
                                            steps_per_call=30)
     assert np.isfinite(hist).all()
     assert hist[-20:].mean() > hist[:20].mean()
+
+
+def test_svi_fit_on_device_prebuilt_dataset_equivalence():
+    """dataset= (prepare_dataset_on_device) must reproduce the internal
+    rebuild path exactly — same params, same history."""
+    import jax
+
+    from hetmogp_tpu import (Bernoulli, Gaussian, ModelConfig, TrainConfig)
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=8, input_dim=1, dtype="float64")
+    X_list = [rng.rand(40, 1), rng.rand(30, 1)]
+    Y_list = [rng.randn(40, 1), (rng.rand(30, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None], lengthscale=0.2)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    kw = dict(batch_sizes=16, num_steps=12, steps_per_call=5,
+              key=jax.random.PRNGKey(3))
+    p1, h1 = train_mod.svi_fit_on_device(params, cfg, tc, X_list, Y_list,
+                                         **kw)
+    ds = train_mod.prepare_dataset_on_device(cfg, X_list, Y_list)
+    p2, h2 = train_mod.svi_fit_on_device(params, cfg, tc, X_list, Y_list,
+                                         dataset=ds, **kw)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
