@@ -25,6 +25,8 @@ Modes:
   python bench.py              flagship N=1e6/M=1024/Q=4 workload
   python bench.py --sweep-m    M-scaling sweep (M=512/1024/2048), one JSON
                                line per point (secondary artifact)
+  python bench.py --serve      serving throughput: observation-space
+                               predictive over N=1e6 rows (rows/sec)
   python bench.py --mesh       virtual-CPU mesh plumbing check
   HETMOGP_BENCH_QUICK=1        small workload, under its OWN metric name
   HETMOGP_BENCH_TINY=1         minutes-scale CPU workload (chaos test)
@@ -248,6 +250,93 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
     return result
 
 
+
+
+def run_serve(metric, N_total=1_000_000, M=1024, Q=4, chunk=65536):
+    """Serving throughput: observation-space predictive moments, rows/sec.
+
+    The production serving shape (prompt: large-scale deployment): the
+    bench model's 6 mixed likelihoods, N=1e6 prediction rows total,
+    processed in fixed row chunks (bounds the (Q, chunk, M) intermediates;
+    chunk=65536 also puts N*M over the fused-Pallas-RBF dispatch gate, so
+    the serving path exercises the Pallas kernel on TPU).  Multi-device
+    hosts shard rows over a ('data',) mesh (predict.predictive_sharded).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("HETMOGP_JAX_CACHE", "/tmp/hetmogp_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
+                             HetGaussian, ModelConfig, Poisson)
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    liks = (HetGaussian(), Bernoulli(), Categorical(K=3), Poisson(), Gamma(),
+            Exponential())
+    T = len(liks)
+    rng = np.random.RandomState(0)
+    Dx = 2
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=Dx, dtype="float32", jitter=1e-4,
+                      adaptive_jitter=False)
+    Z = rng.rand(M, Dx).astype(np.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
+                         variance=0.5, q_mu_scale=0.1)
+    n_per = N_total // T
+    n_chunks = max(1, n_per // chunk)
+    rows_per_task = n_chunks * chunk
+    X = jax.device_put(rng.rand(rows_per_task, Dx).astype(np.float32))
+
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1:
+        from hetmogp_tpu.parallel import sharding as _sh
+
+        mesh = _sh.data_mesh(jax.devices())
+
+    def serve_all():
+        out = 0.0
+        for t in range(T):
+            for c in range(n_chunks):
+                Xc = jax.lax.dynamic_slice_in_dim(X, c * chunk, chunk)
+                if mesh is not None:
+                    m, v = predict_mod._sharded_predictive_task(
+                        cfg, mesh, t)(params, Xc)
+                else:
+                    mF, vF = predict_mod._jitted_task_moments(cfg)(
+                        params, Xc, t)
+                    m, v = predict_mod._jitted_likelihood_predictive(
+                        liks[t])(mF, vF)
+                out = out + jnp.sum(m[-1]) + jnp.sum(v[-1])
+        return out
+
+    float(serve_all())  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(serve_all())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    total_rows = rows_per_task * T
+    rows_per_sec = total_rows / dt
+    return {
+        "metric": metric,
+        "value": round(rows_per_sec),
+        "unit": "rows/sec",
+        "vs_baseline": None,
+        "devices": n_dev,
+        "note": (f"observation-space predictive moments, {T} mixed "
+                 f"likelihoods, M={M}, Q={Q}, chunk={chunk}, "
+                 f"{total_rows} rows/pass"),
+    }
+
 def worker(argv):
     if "--inject-fail" in argv:
         # chaos-test hook: simulate the transient backend failure class
@@ -258,6 +347,9 @@ def worker(argv):
         force_virtual_cpu(1)
     if "--mesh" in argv:
         main_mesh()
+        return
+    if "--serve" in argv:
+        print(json.dumps(run_serve("serve_rows_per_sec_M1024_Q4_6lik")))
         return
     if "--sweep-m" in argv:
         # M-scaling sweep (VERDICT r2 #6): quick-sized call counts, one
@@ -337,6 +429,8 @@ def supervise(argv) -> int:
                           + (tail[-1][-300:] if tail else "<no stderr>"))
     if "--mesh" in argv:
         metric = "mesh_scaling_overhead_virtual_cpu"
+    elif "--serve" in argv:
+        metric = "serve_rows_per_sec_M1024_Q4_6lik"
     elif "--sweep-m" in argv:
         metric = "svi_steps_per_sec_sweep"
     else:

@@ -97,3 +97,14 @@ def test_workload_auto_shards_on_multidevice_host():
                            steps_per_call=4, calls=2)
     assert r["devices"] == 8
     assert r["value"] is not None and r["value"] > 0
+
+
+def test_serve_mode_runs_and_reports_rows_per_sec():
+    """--serve workload (observation-space predictive throughput) executes
+    on the test host's virtual devices and reports a positive rate."""
+    import bench
+
+    r = bench.run_serve("serve_tiny", N_total=2048, M=32, Q=2, chunk=256)
+    assert r["unit"] == "rows/sec"
+    assert r["value"] > 0
+    assert r["devices"] == 8  # sharded path on the virtual mesh
