@@ -79,6 +79,37 @@ def _jitted_task_full_cov(config: ModelConfig):
     return jax.jit(f, static_argnums=2)
 
 
+def make_serving_predictive(params: SVMOGPParams, config: ModelConfig,
+                            task: int):
+    """Serving-optimized observation-space predictive for one task.
+
+    For a FIXED trained model, the prior factorization is constant across
+    requests: this factory computes (Luu, Luu^{-1}) once (fused blocked
+    forms) and closes over them, so each call replaces the per-chunk
+    Cholesky + triangular solves with the cached-inverse matmul projection
+    (linalg.matmul_tril_t at HIGHEST precision — the training fast path,
+    whose accuracy matches the solve to ~2e-4 relative at the bench
+    conditioning; see models/elbo.py latent_projections).  The explicit
+    inverse's error grows with cond(Kuu) — keep a jitter floor
+    (ModelConfig.jitter) for smooth kernels on dense inducing grids, and
+    use ``predictive`` when solve-path exactness matters more than
+    latency.
+
+    Returns a jitted ``X -> (m_pred, v_pred)``, each (N, dim_p).
+    """
+    from hetmogp_tpu import train as train_mod
+
+    Luu, iLuu = train_mod._prior_cholesky_inverse_jit(params, config)
+    lik = config.likelihoods[task]
+
+    def f(X):
+        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X, task,
+                                            iLuu=iLuu)
+        return lik.predictive(m_F, v_F)
+
+    return jax.jit(f)
+
+
 def _as_inputs(Xnew, config: ModelConfig) -> jnp.ndarray:
     """Validate and convert prediction inputs.
 

@@ -293,3 +293,31 @@ def test_pallas_forced_off_tpu_warns():
         out = pallas_dispatch.should_use_pallas(True, X, Z)
     assert out is False  # CPU test host
     assert any("XLA kernel instead" in str(r.message) for r in rec)
+
+
+def test_serving_predictive_matches_predictive():
+    """make_serving_predictive (cached-inverse fast path) matches the
+    solve-path predictive at production-like conditioning (fixed jitter
+    floor; the explicit inverse degrades with cond(Kuu), which the
+    factory docstring documents)."""
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(4)
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=16, input_dim=1, dtype="float64",
+                      jitter=1e-6, adaptive_jitter=False)
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 16)[:, None], lengthscale=0.15)
+    X = [rng.rand(25, 1), rng.rand(17, 1)]
+    m_ref, v_ref = predict_mod.predictive(params, cfg, X)
+    for t in range(2):
+        f = predict_mod.make_serving_predictive(params, cfg, t)
+        m, v = f(np.asarray(X[t]))
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref[t]),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref[t]),
+                                   rtol=1e-6, atol=1e-8)
