@@ -108,3 +108,41 @@ def export_predict_f_projected(params: SVMOGPParams, config: ModelConfig,
     Xs = jnp.asarray(example_Xnew, config.np_dtype)
     exported = jax.export.export(jax.jit(f))(*params_args(params), Xtr, Xs)
     return bytes(exported.serialize())
+
+
+def serving_state(params: SVMOGPParams, config: ModelConfig):
+    """(Luu, Luu^{-1}) for the serving fast path — compute once per trained
+    model, pass to the function exported by ``export_serving_predictive``."""
+    from hetmogp_tpu import train as train_mod
+
+    return train_mod._prior_cholesky_inverse_jit(params, config)
+
+
+def export_serving_predictive(params: SVMOGPParams, config: ModelConfig,
+                              example_X, task: int) -> bytes:
+    """Serialize the serving fast-path predictive for one task.
+
+    The AOT function takes the precomputed ``serving_state`` pair, so the
+    serving process never factorizes: every call is cached-inverse matmul
+    projections + likelihood quadrature moments (the
+    ``predict.make_serving_predictive`` path; same conditioning caveat).
+    Call signature ``(*params_args(params), *serving_state(params, config),
+    X)``; loadable with ``load_predictive``.
+    """
+    from hetmogp_tpu.models import elbo as elbo_mod
+
+    lik = config.likelihoods[task]
+
+    def f(Z, q_mu, q_sqrt, log_ls, log_var, W, kappa, Luu, iLuu, X):
+        p = SVMOGPParams(Z=Z, q_mu=q_mu, q_sqrt=q_sqrt,
+                         log_lengthscale=log_ls, log_variance=log_var,
+                         W=W, kappa=kappa, rank=config.rank)
+        m_F, v_F = elbo_mod.task_qf_moments(p, config, Luu, X, task,
+                                            iLuu=iLuu)
+        return lik.predictive(m_F, v_F)
+
+    X = jnp.asarray(example_X, config.np_dtype)
+    Luu, iLuu = serving_state(params, config)
+    exported = jax.export.export(jax.jit(f))(*params_args(params), Luu,
+                                             iLuu, X)
+    return bytes(exported.serialize())

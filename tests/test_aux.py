@@ -339,3 +339,33 @@ def test_plot_callback_live_figure(tmp_path):
     assert out.exists() and out.stat().st_size > 0
     line = cb.figure.axes[0].lines[0]
     assert len(line.get_xdata()) >= 11  # redrawn at iteration 10
+
+
+def test_export_serving_predictive_roundtrip():
+    """Serving fast-path export: load + call == make_serving_predictive."""
+    import jax
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig
+    from hetmogp_tpu.export import (export_serving_predictive,
+                                    load_predictive, params_args,
+                                    serving_state)
+    from hetmogp_tpu.models import predict as predict_mod
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(1)
+    cfg = ModelConfig(likelihoods=(Gaussian(sigma=0.5), Bernoulli()),
+                      num_latent=2, num_inducing=8, input_dim=1,
+                      dtype="float64", jitter=1e-6, adaptive_jitter=False)
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None], lengthscale=0.2)
+    X = rng.rand(9, 1)
+
+    blob = export_serving_predictive(params, cfg, X, task=1)
+    fn = load_predictive(blob)
+    m, v = fn(*params_args(params), *serving_state(params, cfg),
+              jnp.asarray(X, cfg.np_dtype))
+    em, ev = predict_mod.make_serving_predictive(params, cfg, 1)(
+        jnp.asarray(X, cfg.np_dtype))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(em), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ev), atol=1e-12)
