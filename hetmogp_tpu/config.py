@@ -238,3 +238,10 @@ class TrainConfig:
     # is fixed, gaussian.py:21-24).  Requires params built with
     # init_params(..., with_lik_theta=True).
     learn_lik_params: bool = False
+    # Production fault tolerance: when a step's ELBO comes out non-finite,
+    # discard that step's parameter/optimizer/cache updates (the step
+    # counter still advances so the VE/VM schedule stays aligned) and
+    # report metrics["skipped"]=1.  Off by default (reference semantics:
+    # a bad step poisons the state, matching GPy's behavior); zero cost
+    # when off (static flag).
+    skip_nonfinite_steps: bool = False

@@ -469,8 +469,29 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         else:
             Luu_next, iLuu_next = state.Luu, state.iLuu
         metrics = {"elbo": -neg_elbo, "kl": aux["kl"], "ve": aux["ve"]}
-        return TrainState(params, opt_state, state.step + 1, Luu_next,
-                          iLuu_next), metrics
+        new_state = TrainState(params, opt_state, state.step + 1, Luu_next,
+                               iLuu_next)
+        if train_config.skip_nonfinite_steps:
+            # production fault tolerance (SURVEY §5 failure handling): a
+            # non-finite step ELBO (e.g. a transiently indefinite Kuu at
+            # f32 roundoff under an extreme hyper update) discards that
+            # step's updates instead of poisoning the state forever.  The
+            # step counter still advances (the VE/VM schedule stays
+            # aligned).  Static flag: no cost when disabled.
+            ok = jnp.isfinite(neg_elbo)
+
+            def _sel(new, old):
+                return jax.lax.select(
+                    jnp.broadcast_to(ok, jnp.shape(new)), new, old)
+
+            kept = jax.tree_util.tree_map(
+                _sel, (new_state.params, new_state.opt_state,
+                       new_state.Luu, new_state.iLuu),
+                (state.params, state.opt_state, state.Luu, state.iLuu))
+            new_state = TrainState(kept[0], kept[1], state.step + 1,
+                                   kept[2], kept[3])
+            metrics["skipped"] = (~ok).astype(jnp.int32)
+        return new_state, metrics
 
     return step_fn
 

@@ -605,3 +605,48 @@ def test_svi_fit_on_device_prebuilt_dataset_equivalence():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_skip_nonfinite_steps_guards_state():
+    """TrainConfig.skip_nonfinite_steps: a poisoned batch leaves the state
+    untouched (counter still advances); a clean step then trains."""
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig, TrainConfig
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.data import full_batch
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=6, input_dim=1, dtype="float64")
+    X_list = [rng.rand(20, 1), rng.rand(15, 1)]
+    Y_list = [rng.randn(20, 1), (rng.rand(15, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 6)[:, None], lengthscale=0.3)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    bad = tuple(d._replace(X=d.X.at[0, 0].set(np.nan)) for d in data)
+
+    tc = TrainConfig(optimizer="adam", step_rate=0.01,
+                     skip_nonfinite_steps=True)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state0 = train_mod.init_train_state(params, cfg, opt)
+
+    state1, m1 = step(state0, bad, scales)
+    assert int(m1["skipped"]) == 1
+    assert not np.isfinite(float(m1["elbo"]))
+    for a, b in zip(jax.tree_util.tree_leaves(state0.params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state1.step) == 1  # schedule stays aligned
+
+    state2, m2 = step(state1, data, scales)
+    assert int(m2["skipped"]) == 0
+    assert np.isfinite(float(m2["elbo"]))
+    # the clean step actually updated the parameters
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                       jax.tree_util.tree_leaves(state2.params)))
