@@ -41,7 +41,8 @@ from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
 from hetmogp_tpu.train import (plot_callback, prepare_dataset_on_device,
                                print_callback, svi_fit, svi_fit_on_device,
                                vem_algorithm)
-from hetmogp_tpu.checkpoint import load_checkpoint, save_checkpoint
+from hetmogp_tpu.checkpoint import (load_checkpoint, load_checkpoint_sharded,
+                                    save_checkpoint, save_checkpoint_sharded)
 from hetmogp_tpu.data import MinibatchStream, batch_scales
 
 __all__ = [
@@ -71,6 +72,8 @@ __all__ = [
     "svi_fit_on_device",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_sharded",
+    "load_checkpoint_sharded",
     "MinibatchStream",
     "batch_scales",
 ]

@@ -1,10 +1,16 @@
 """Checkpoint / resume.
 
-The reference has no persistence at all (SURVEY.md §5).  Here: a plain
-``.npz`` save/restore of the parameter pytree, optimizer state, RNG key and
-step counter — dependency-free and enough for single-host training.  (Orbax
-is available in the environment for multi-host use; the npz format keeps
-checkpoints portable and inspectable.)
+The reference has no persistence at all (SURVEY.md §5).  Two formats:
+
+* ``save_checkpoint``/``load_checkpoint`` — a plain ``.npz`` of the
+  parameter pytree, optimizer state, RNG key and step counter:
+  dependency-free, portable, inspectable; enough for single-host training.
+* ``save_checkpoint_sharded``/``load_checkpoint_sharded`` — Orbax-backed,
+  for mesh-sharded training state: saving gathers sharded jax.Arrays
+  through Orbax's array serialization (multi-host safe), and restoring
+  with ``mesh=`` places every leaf DIRECTLY at its mesh sharding (the
+  latent-axis layout from ``parallel.sharding.state_shardings``) with no
+  host-side replication round-trip — each device reads only its shard.
 """
 
 from __future__ import annotations
@@ -92,3 +98,115 @@ def load_checkpoint(path, params_template: SVMOGPParams,
         if "_rng_key" in z.files:
             extra["rng_key"] = np.array(z["_rng_key"])
         return params, opt_state, meta["step"], extra
+
+
+# ---------------------------------------------------------------------------
+# Orbax-backed sharded checkpointing (multi-chip training state)
+# ---------------------------------------------------------------------------
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp, ocp.Checkpointer(ocp.StandardCheckpointHandler())
+
+
+def save_checkpoint_sharded(path, params: SVMOGPParams, opt_state: Any = None,
+                            step: int = 0, extra: Optional[dict] = None,
+                            rng_key=None):
+    """Orbax checkpoint of a (possibly mesh-sharded) training state.
+
+    Accepts the same payload as ``save_checkpoint`` but writes an Orbax
+    directory instead of an npz: sharded jax.Arrays are serialized shard by
+    shard (no host gather of the full array is required on multi-host
+    setups), and an existing checkpoint at ``path`` is overwritten
+    atomically.  extra must be JSON-serializable; the RNG key goes through
+    ``rng_key`` (returned by the loader as ``extra['rng_key']``).
+    """
+    if extra and "rng_key" in extra:
+        raise ValueError(
+            "extra['rng_key'] is reserved: pass the training key via the "
+            "rng_key kwarg (load_checkpoint_sharded returns it as "
+            "extra['rng_key'])")
+    ocp, ckptr = _orbax_checkpointer()
+    tree = {"params": params,
+            "step": np.asarray(int(step)),
+            "extra": np.frombuffer(json.dumps(extra or {}).encode(),
+                                   dtype=np.uint8)}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    if rng_key is not None:
+        tree["rng_key"] = np.asarray(rng_key)
+    ckptr.save(Path(path).resolve(), args=ocp.args.StandardSave(tree),
+               force=True)
+    # the sync Checkpointer blocks; tolerate an async drop-in
+    getattr(ckptr, "wait_until_finished", lambda: None)()
+
+
+def _leaf_dtype(leaf):
+    return getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+
+
+def load_checkpoint_sharded(path, params_template: SVMOGPParams,
+                            opt_state_template: Any = None, mesh=None
+                            ) -> Tuple[SVMOGPParams, Any, int, dict]:
+    """Restore an Orbax checkpoint written by ``save_checkpoint_sharded``.
+
+    With ``mesh=`` the restored leaves are placed directly at the mesh's
+    shardings — params and params-shaped optimizer moments on the latent
+    axis per ``parallel.sharding.state_shardings``, everything else
+    replicated — so resuming a 2-D ('data','latent') run never materializes
+    a replicated copy.  Without a mesh, leaves restore to the default
+    device.  Returns ``(params, opt_state, step, extra)`` like
+    ``load_checkpoint``; shapes are validated by Orbax against the saved
+    arrays.
+    """
+    import jax.numpy as jnp  # noqa: F401  (kept light: only sharding below)
+    from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
+
+    ocp, ckptr = _orbax_checkpointer()
+    path = Path(path).resolve()
+    saved = ckptr.metadata(path).item_metadata.tree
+    if "opt_state" in saved and opt_state_template is None:
+        raise ValueError(
+            "checkpoint contains opt_state: pass opt_state_template")
+    if "opt_state" not in saved and opt_state_template is not None:
+        raise ValueError("checkpoint has no opt_state but a template was "
+                         "passed")
+
+    if mesh is not None:
+        from hetmogp_tpu.parallel import sharding as sharding_mod
+        from hetmogp_tpu.train import TrainState
+
+        st = TrainState(params=params_template, opt_state=opt_state_template,
+                        step=np.asarray(0))
+        st_sh = sharding_mod.state_shardings(mesh, st)
+        params_sh, opt_sh = st_sh.params, st_sh.opt_state
+        rep = NamedSharding(mesh, PartitionSpec())
+    else:
+        rep = SingleDeviceSharding(jax.devices()[0])
+        params_sh = jax.tree_util.tree_map(lambda _: rep, params_template)
+        opt_sh = jax.tree_util.tree_map(lambda _: rep, opt_state_template)
+
+    def abstract(leaf, sh):
+        return jax.ShapeDtypeStruct(np.shape(leaf), _leaf_dtype(leaf),
+                                    sharding=sh)
+
+    def meta_abstract(m):
+        return jax.ShapeDtypeStruct(tuple(m.shape), np.dtype(m.dtype),
+                                    sharding=rep)
+
+    tree = {"params": jax.tree_util.tree_map(abstract, params_template,
+                                             params_sh),
+            "step": meta_abstract(saved["step"]),
+            "extra": meta_abstract(saved["extra"])}
+    if "opt_state" in saved:
+        tree["opt_state"] = jax.tree_util.tree_map(abstract,
+                                                   opt_state_template, opt_sh)
+    if "rng_key" in saved:
+        tree["rng_key"] = meta_abstract(saved["rng_key"])
+
+    out = ckptr.restore(path, args=ocp.args.StandardRestore(tree))
+    extra = json.loads(bytes(np.asarray(out["extra"]).tobytes()).decode())
+    if "rng_key" in out:
+        extra["rng_key"] = np.asarray(out["rng_key"])
+    return (out["params"], out.get("opt_state"), int(out["step"]), extra)

@@ -378,3 +378,87 @@ def test_svmogp_predictive_mesh_entry():
                                    rtol=1e-12)
     with pytest.raises(ValueError):
         m.predictive(Xp, projected=True, mesh=mesh)
+
+
+def test_sharded_checkpoint_resume_on_2d_mesh(tmp_path):
+    """Orbax sharded checkpointing: training N sharded steps on a 2-D
+    ('data','latent') mesh, saving the sharded state, restoring with
+    ``mesh=`` (leaves land DIRECTLY at their latent-axis shardings) and
+    training N more must equal an uninterrupted 2N-step sharded run — the
+    multi-chip version of test_train.test_checkpoint_resume_equivalence."""
+    from hetmogp_tpu import checkpoint as ckpt
+
+    cfg, params, data, scales = _problem(n_per=32, M=8, Q=4)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=2)
+    step = sharding.make_sharded_svi_step(cfg, tc, mesh, vem=True)
+    data_sh = sharding.shard_batch(mesh, data)
+
+    def fresh(p):
+        st = train_mod.init_train_state(
+            jax.tree_util.tree_map(jnp.asarray, p), cfg, opt)
+        return sharding.shard_state(mesh, st)
+
+    # uninterrupted: 4 sharded steps
+    sA = fresh(params)
+    for _ in range(4):
+        sA, mA = step(sA, data_sh, scales)
+
+    # interrupted at 2 -> orbax save -> restore on the mesh -> 2 more
+    sB = fresh(params)
+    for _ in range(2):
+        sB, mB = step(sB, data_sh, scales)
+    path = tmp_path / "orbax_ckpt"
+    ckpt.save_checkpoint_sharded(path, sB.params, opt_state=sB.opt_state,
+                                 step=int(sB.step), extra={"note": "r3"},
+                                 rng_key=np.asarray(jax.random.PRNGKey(3)))
+
+    tmpl = fresh(params)
+    p2, opt2, step2, extra = ckpt.load_checkpoint_sharded(
+        path, tmpl.params, opt_state_template=tmpl.opt_state, mesh=mesh)
+    assert extra["note"] == "r3"
+    np.testing.assert_array_equal(extra["rng_key"],
+                                  np.asarray(jax.random.PRNGKey(3)))
+    # restored leaves carry the latent-axis sharding, not a host copy
+    assert not p2.q_mu.sharding.is_fully_replicated
+    assert p2.q_mu.sharding.spec == tmpl.params.q_mu.sharding.spec
+    sC = train_mod.init_train_state(p2, cfg, opt)._replace(
+        opt_state=opt2, step=jnp.asarray(step2, sB.step.dtype))
+    sC = sharding.shard_state(mesh, sC)
+    for _ in range(2):
+        sC, mC = step(sC, data_sh, scales)
+
+    np.testing.assert_allclose(float(mC["elbo"]), float(mA["elbo"]),
+                               rtol=1e-12)
+    for a, c in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sC.params)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_sharded_checkpoint_roundtrip_no_mesh(tmp_path):
+    """load_checkpoint_sharded without a mesh restores to the default
+    device; structure errors (missing/extra opt_state template) raise."""
+    import pytest
+
+    from hetmogp_tpu import checkpoint as ckpt
+
+    cfg, params, _, _ = _problem(n_per=16)
+    path = tmp_path / "orbax_plain"
+    ckpt.save_checkpoint_sharded(path, params, step=5)
+    p2, opt2, step2, extra = ckpt.load_checkpoint_sharded(path, params)
+    assert opt2 is None and step2 == 5 and extra == {}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="no opt_state"):
+        ckpt.load_checkpoint_sharded(path, params,
+                                     opt_state_template={"m": params})
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+    ckpt.save_checkpoint_sharded(path, params, opt_state=opt.init(params))
+    with pytest.raises(ValueError, match="opt_state_template"):
+        ckpt.load_checkpoint_sharded(path, params)
+    with pytest.raises(ValueError, match="rng_key"):
+        ckpt.save_checkpoint_sharded(path, params, extra={"rng_key": [1]})
