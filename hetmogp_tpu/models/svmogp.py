@@ -155,11 +155,15 @@ class SVMOGP:
     def fit_svi_on_device(self, batch_size, num_steps: int,
                           train_config: Optional[TrainConfig] = None,
                           vem: bool = True, steps_per_call: int = 100,
-                          mesh=None, key=None):
+                          mesh=None, key=None, checkpoint_dir=None,
+                          checkpoint_every: Optional[int] = None,
+                          keep_last: int = 2, resume: bool = False):
         """SVI with the whole loop on-device (lax.scan over HBM-resident
         data) — the production TPU path.  mesh: optional 1-D ('data',) or
         2-D ('data','latent') jax.sharding.Mesh for multi-chip training
-        (parallel.data_mesh / parallel.model_mesh)."""
+        (parallel.data_mesh / parallel.model_mesh).  checkpoint_dir /
+        checkpoint_every / keep_last / resume: periodic Orbax
+        checkpointing with exact-resume (see train.svi_fit_on_device)."""
         from hetmogp_tpu import train as train_mod
 
         tc = train_config or TrainConfig()
@@ -167,7 +171,9 @@ class SVMOGP:
         self.params, hist = train_mod.svi_fit_on_device(
             self.params, self.config, tc, self.Xmulti_all, self.Ymulti_all,
             batch_size, num_steps, vem=vem, steps_per_call=steps_per_call,
-            mesh=mesh, key=key)
+            mesh=mesh, key=key, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, keep_last=keep_last,
+            resume=resume)
         self.elbo_history = np.concatenate([self.elbo_history, hist])
         return self
 

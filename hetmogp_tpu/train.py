@@ -764,11 +764,32 @@ def prepare_dataset_on_device(config: ModelConfig, X_list, Y_list,
     return jax.device_put(dataset)
 
 
+def _latest_step_checkpoint(ckpt_dir):
+    """Newest ``step_<n>`` subdirectory of ckpt_dir, as (n, path) or None."""
+    from pathlib import Path
+
+    d = Path(ckpt_dir)
+    if not d.is_dir():
+        return None
+    best = None
+    for p in d.iterdir():
+        if p.is_dir() and p.name.startswith("step_"):
+            try:
+                n = int(p.name[5:])
+            except ValueError:
+                continue
+            if best is None or n > best[0]:
+                best = (n, p)
+    return best
+
+
 def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                       train_config: TrainConfig, X_list, Y_list,
                       batch_sizes, num_steps: int, *, key=None,
                       vem: bool = True, steps_per_call: int = 100,
-                      mesh=None, dataset=None):
+                      mesh=None, dataset=None, checkpoint_dir=None,
+                      checkpoint_every: Optional[int] = None,
+                      keep_last: int = 2, resume: bool = False):
     """Convenience wrapper over make_scan_trainer; returns (params, history).
 
     mesh: optional jax.sharding.Mesh — a 1-D ('data',) mesh shards batch
@@ -782,6 +803,22 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     full dataset, which dominates wall time for repeated calls at N~1e6
     (e.g. train / checkpoint / resume loops).  task_sizes are still taken
     from X_list, so pass the SAME X_list the dataset was built from.
+
+    checkpoint_dir: optional directory for periodic Orbax checkpoints
+    (``checkpoint.save_checkpoint_sharded``: params + opt_state + step +
+    RNG key, sharded-state safe).  Saves land at scan-chunk boundaries —
+    every ``checkpoint_every`` steps (rounded up to ``steps_per_call``;
+    default one per chunk) plus one at ``num_steps`` — as
+    ``{checkpoint_dir}/step_{n}``, keeping the newest ``keep_last``.  With
+    ``resume=True`` the newest checkpoint is restored first and training
+    continues its exact step/RNG stream: a killed run rerun with the same
+    arguments produces the trajectory of the uninterrupted run (the
+    returned history covers only the steps THIS call executed).  Exact
+    bit-equality to an uninterrupted run holds when the checkpoint sits on
+    a ``steps_per_call`` boundary — a trailing remainder chunk draws its
+    minibatch keys from one extra key split, so resuming from a remainder
+    checkpoint is a correct continuation but a different (equally unbiased)
+    minibatch stream than a longer uninterrupted run would have used.
     """
     if isinstance(batch_sizes, int):
         batch_sizes = tuple([batch_sizes] * len(X_list))
@@ -799,17 +836,56 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     params = jax.tree_util.tree_map(jnp.array, params)
     state = init_train_state(params, config, optimizer, cache_luu=vem,
                              fast_projection=train_config.fast_projection)
+    done = 0
+    if checkpoint_dir is not None and resume:
+        from hetmogp_tpu import checkpoint as _ckpt
+
+        latest = _latest_step_checkpoint(checkpoint_dir)
+        if latest is not None:
+            done, path = latest
+            p2, opt2, step2, extra = _ckpt.load_checkpoint_sharded(
+                path, state.params, opt_state_template=state.opt_state,
+                mesh=mesh)
+            state = init_train_state(
+                p2, config, optimizer, cache_luu=vem,
+                fast_projection=train_config.fast_projection)._replace(
+                    opt_state=opt2, step=jnp.asarray(step2, state.step.dtype))
+            key = jnp.asarray(extra["rng_key"], dtype=jnp.uint32)
     if mesh is not None:
         from hetmogp_tpu.parallel import sharding as _sh
 
         state = _sh.shard_state(mesh, state)
+
+    def maybe_save(prev_done):
+        if checkpoint_dir is None:
+            return
+        every = checkpoint_every or steps_per_call
+        if done < num_steps and done // every == prev_done // every:
+            return
+        from pathlib import Path
+        import shutil
+
+        from hetmogp_tpu import checkpoint as _ckpt
+
+        _ckpt.save_checkpoint_sharded(
+            Path(checkpoint_dir) / f"step_{done}", state.params,
+            opt_state=state.opt_state, step=int(state.step),
+            rng_key=np.asarray(key))
+        if keep_last > 0:
+            kept = sorted((int(p.name[5:]), p)
+                          for p in Path(checkpoint_dir).iterdir()
+                          if p.is_dir() and p.name.startswith("step_")
+                          and p.name[5:].isdigit())
+            for _, p in kept[:-keep_last]:
+                shutil.rmtree(p)
+
     chunks = []
-    done = 0
     while done + steps_per_call <= num_steps:
         key, sub = jax.random.split(key)
         state, elbos = runner(state, dataset, sub)
         chunks.append(np.asarray(elbos))
         done += steps_per_call
+        maybe_save(done - steps_per_call)
     if done < num_steps:
         # remainder chunk with its own (smaller) compiled runner so the
         # returned params correspond exactly to num_steps optimizer steps
@@ -820,6 +896,8 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
         key, sub = jax.random.split(key)
         state, elbos = rem_runner(state, dataset, sub)
         chunks.append(np.asarray(elbos))
+        prev, done = done, num_steps
+        maybe_save(prev)
     history = np.concatenate(chunks) if chunks else np.zeros((0,))
     return state.params, history
 

@@ -650,3 +650,45 @@ def test_skip_nonfinite_steps_guards_state():
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(state1.params),
                        jax.tree_util.tree_leaves(state2.params)))
+
+
+def test_periodic_checkpoint_and_crash_resume(tmp_path):
+    """svi_fit_on_device(checkpoint_dir=, resume=): a run killed mid-way
+    (simulated by a shorter num_steps) rerun with resume=True continues the
+    exact step/RNG stream — final params equal the uninterrupted run — and
+    the directory keeps only the newest ``keep_last`` step_ checkpoints."""
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    key = jax.random.PRNGKey(11)
+    kw = dict(batch_sizes=(16, 16), vem=True, steps_per_call=5)
+
+    pA, hA = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, num_steps=20, key=key, **kw)
+
+    ckdir = tmp_path / "ck"
+    pB1, hB1 = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, num_steps=15, key=key,
+        checkpoint_dir=ckdir, keep_last=2, **kw)  # "crash" after 15
+    names = {p.name for p in ckdir.iterdir()}
+    assert names == {"step_10", "step_15"}  # keep_last pruned step_5
+    pB, hB = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, num_steps=20, key=key,
+        checkpoint_dir=ckdir, keep_last=2, resume=True, **kw)
+    # resumed call executed only the remaining 5 steps...
+    assert hB.shape == (5,)
+    np.testing.assert_allclose(hB, hA[15:], rtol=1e-12)
+    # ...and lands on the uninterrupted run's params exactly
+    for a, b in zip(jax.tree_util.tree_leaves(pA),
+                    jax.tree_util.tree_leaves(pB)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12,
+                                   atol=1e-12)
+    # final checkpoint written at num_steps; resume past the end is a no-op
+    assert (ckdir / "step_20").is_dir()
+    pC, hC = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, num_steps=20, key=key,
+        checkpoint_dir=ckdir, resume=True, **kw)
+    assert hC.shape == (0,)
+    for a, c in zip(jax.tree_util.tree_leaves(pA),
+                    jax.tree_util.tree_leaves(pC)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-12,
+                                   atol=1e-12)
