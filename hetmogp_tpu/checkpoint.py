@@ -64,6 +64,14 @@ def save_checkpoint(path, params: SVMOGPParams, opt_state: Any = None,
     np.savez(path, **arrays)
 
 
+def peek_meta(path) -> dict:
+    """Read an npz checkpoint's metadata (step/n_opt/extra) without touching
+    the arrays — lets a caller build the right templates before
+    ``load_checkpoint`` (e.g. ``SVMOGP.load`` reconstructing the config)."""
+    with np.load(_normalize(path), allow_pickle=False) as z:
+        return json.loads(bytes(z["_meta"]).decode())
+
+
 def load_checkpoint(path, params_template: SVMOGPParams,
                     opt_state_template: Any = None
                     ) -> Tuple[SVMOGPParams, Any, int, dict]:

@@ -89,6 +89,34 @@ class ModelConfig:
     # cached adjoints stay HIGHEST.
     ve_fwd_precision: str = "highest"
 
+    # ---- serialization ----------------------------------------------------------
+    def to_dict(self) -> dict:
+        """JSON-serializable dict, likelihoods encoded by class name +
+        constructor fields (all likelihoods are frozen dataclasses)."""
+        d = dataclasses.asdict(self)
+        d["likelihoods"] = [
+            {"cls": type(lik).__name__, **dataclasses.asdict(lik)}
+            for lik in self.likelihoods]
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        """Inverse of ``to_dict`` (likelihood classes resolved from
+        ``hetmogp_tpu.likelihoods``); JSON round-trips turn tuples into
+        lists, so sequence-valued fields are re-tupled to keep configs
+        hashable (jit statics)."""
+        from hetmogp_tpu import likelihoods as lik_mod
+
+        liks = []
+        for spec in d["likelihoods"]:
+            spec = dict(spec)
+            klass = getattr(lik_mod, spec.pop("cls"))
+            liks.append(klass(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in spec.items()}))
+        kw = {k: v for k, v in d.items() if k != "likelihoods"}
+        return cls(likelihoods=tuple(liks), **kw)
+
     # ---- derived static metadata ------------------------------------------------
     @property
     def num_latent_eff(self) -> int:

@@ -63,6 +63,42 @@ class SVMOGP:
         self.params = params
         self.elbo_history = np.zeros((0,))
 
+    # ---- whole-model persistence -----------------------------------------
+    def save(self, path):
+        """Persist the whole model (params + serialized ModelConfig) to one
+        npz.  The framework analogue of pickling a GPy model (the reference
+        inherits GPy's pickle support) minus the training data, which is
+        not stored — it can be HBM-scale; pass the same X/Y to ``load``.
+        """
+        from hetmogp_tpu import checkpoint as ckpt
+
+        ckpt.save_checkpoint(
+            path, self.params,
+            extra={"model_config": self.config.to_dict(),
+                   "has_lik_theta": self.params.lik_theta is not None})
+
+    @classmethod
+    def load(cls, path, X: Sequence, Y: Sequence) -> "SVMOGP":
+        """Rebuild a model saved with ``save``: the ModelConfig (including
+        likelihood objects) comes from the checkpoint, the params are
+        shape-validated against it, and X/Y re-attach the dataset."""
+        from hetmogp_tpu import checkpoint as ckpt
+        from hetmogp_tpu.models.params import init_params as _init
+
+        meta = ckpt.peek_meta(path)
+        try:
+            cfg = ModelConfig.from_dict(meta["extra"]["model_config"])
+        except KeyError:
+            raise ValueError(
+                f"{path!s} is a bare params checkpoint, not a model saved "
+                "with SVMOGP.save (no model_config in extra); use "
+                "checkpoint.load_checkpoint with your own templates")
+        template = _init(jax.random.PRNGKey(0), cfg,
+                         np.zeros((cfg.num_inducing, cfg.input_dim)),
+                         with_lik_theta=meta["extra"]["has_lik_theta"])
+        params, _, _, _ = ckpt.load_checkpoint(path, template)
+        return cls(cfg, X, Y, None, params=params)
+
     # ---- reference-parity accessors -------------------------------------
     @property
     def num_inducing(self) -> int:

@@ -369,3 +369,53 @@ def test_export_serving_predictive_roundtrip():
         jnp.asarray(X, cfg.np_dtype))
     np.testing.assert_allclose(np.asarray(m), np.asarray(em), atol=1e-12)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ev), atol=1e-12)
+
+
+def test_whole_model_save_load_roundtrip(tmp_path):
+    """SVMOGP.save/load: config (incl. likelihood objects with tuple fields
+    and rank-R) + params round-trip through one npz; the rebuilt model
+    predicts identically and its config stays hashable (jit-static)."""
+    import jax
+
+    from hetmogp_tpu import ModelConfig, SVMOGP, TrainConfig
+    from hetmogp_tpu import likelihoods as L
+
+    rng = np.random.RandomState(3)
+    liks = (L.Gaussian(sigma=0.35), L.Categorical(K=3),
+            L.Ordinal(K=4, thresholds=(-0.5, 0.1, 0.9)))
+    cfg = ModelConfig(likelihoods=liks, num_latent=2, num_inducing=8,
+                      input_dim=1, dtype="float64", rank=2, jitter=1e-6,
+                      adaptive_jitter=False)
+    X = [np.sort(rng.rand(40, 1), 0) for _ in range(3)]
+    Y = [rng.randn(40, 1), rng.randint(1, 4, (40, 1)).astype(float),
+         rng.randint(1, 5, (40, 1)).astype(float)]
+    m = SVMOGP(cfg, X, Y, np.linspace(0, 1, 8)[:, None],
+               key=jax.random.PRNGKey(0), lengthscale=0.25)
+    m._ensure_lik_theta(TrainConfig(learn_lik_params=True))
+    assert m.params.lik_theta is not None  # exercises the theta leaf path
+
+    path = tmp_path / "model"
+    m.save(path)
+    m2 = SVMOGP.load(path, X, Y)
+
+    assert m2.config == m.config and hash(m2.config) == hash(m.config)
+    assert m2.config.likelihoods[2].thresholds == (-0.5, 0.1, 0.9)
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(m2.log_likelihood(), m.log_likelihood(),
+                               rtol=1e-12)
+    mp, vp = m.predictive(X)
+    mp2, vp2 = m2.predictive(X)
+    for t in range(3):
+        np.testing.assert_array_equal(np.asarray(mp[t]), np.asarray(mp2[t]))
+        np.testing.assert_array_equal(np.asarray(vp[t]), np.asarray(vp2[t]))
+
+    # a bare params checkpoint is rejected with a pointed error
+    import pytest
+
+    from hetmogp_tpu import checkpoint as ckpt
+
+    ckpt.save_checkpoint(tmp_path / "bare", m.params)
+    with pytest.raises(ValueError, match="model_config"):
+        SVMOGP.load(tmp_path / "bare", X, Y)
