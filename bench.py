@@ -152,10 +152,16 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
     # fixed 1e-4 jitter, adaptive escalation off: the reactive while_loop
     # in adaptive jitchol serializes the scan pipeline (178 -> 258 steps/s
     # measured); the fixed floor is stable over 3000-step runs (no NaNs)
+    # fuse_task_rows: one concatenated-rows projection for all 6 tasks
+    # (one Kfu / one triangular matmul / one quad_diag; ONE Lq-cotangent
+    # in the VE backward instead of six) — measured +4.9% on the 4:1 mix,
+    # +6.4% pure-VE at these shapes (DESIGN.md §7g); ELBO value matches
+    # the per-task path to 1e-13 (tests/test_elbo_oracle.py).
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
                       adaptive_jitter=False,
-                      ve_fwd_precision=ve_fwd_precision)
+                      ve_fwd_precision=ve_fwd_precision,
+                      fuse_task_rows=True)
     # fast_projection (default): cached triangular inverse + HIGHEST-prec
     # matmuls for VE projections and VM cached adjoints; minibatch="slice"
     # draws contiguous random blocks (the reference's own sequential-slice

@@ -88,6 +88,15 @@ class ModelConfig:
     # §7d.  Only consulted on the fast_projection VE path; solves and VM
     # cached adjoints stay HIGHEST.
     ve_fwd_precision: str = "highest"
+    # Compute the ELBO's per-latent projections for ALL tasks' rows as one
+    # concatenated batch (one Kfu build / one triangular matmul / one
+    # quad_diag; the VE backward then forms ONE (Q, M, M) Lq-cotangent
+    # instead of one per task) and slice per task for mixing + quadrature.
+    # Same math, different matmul blocking: ELBO value matches exactly,
+    # gradients to reduction-order rounding (~1e-10 rel in f64).  Measured
+    # on TPU v5e at bench shapes (6 tasks, B=512, M=1024): docs/DESIGN.md
+    # §7g.
+    fuse_task_rows: bool = False
 
     # ---- serialization ----------------------------------------------------------
     def to_dict(self) -> dict:

@@ -208,12 +208,20 @@ def task_qf_moments(params: SVMOGPParams, config: ModelConfig, Luu: jnp.ndarray,
     prints 'v negative!' at svmogp_inf.py:221-222 and np.abs()s at predict
     time, svmogp.py:253).
     """
-    start, stop = config.task_function_slices[task]
-    Wt = params.W[:, start:stop]  # (Q, F_t)
-    Kt = params.kappa[:, start:stop]
     mean_q, gamma_q, kdiag = latent_projections(params, config, Luu, X,
                                                 iLuu=iLuu, q_moments=q_moments,
                                                 cache_grad=cache_grad)
+    return _mix_task(mean_q, gamma_q, kdiag, params, config, task,
+                     clip_variance=clip_variance, var_floor=var_floor)
+
+
+def _mix_task(mean_q, gamma_q, kdiag, params, config, task,
+              clip_variance: bool = True, var_floor: float = 0.0):
+    """Coregionalization mixing of per-latent projections into one task's
+    (m_F, v_F) — shared by the per-task and fused-rows ELBO paths."""
+    start, stop = config.task_function_slices[task]
+    Wt = params.W[:, start:stop]  # (Q, F_t)
+    Kt = params.kappa[:, start:stop]
     m_F = jnp.einsum("qn,qj->nj", mean_q, Wt)
     v_F = (jnp.einsum("qn,qj->nj", gamma_q, jnp.square(Wt))
            + jnp.einsum("qn,qj->nj", kdiag, Kt))
@@ -347,14 +355,32 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
         Luu = prior_cholesky(params, config, cached=(Luu, iLuu))
     elif Luu is None:
         Luu = prior_cholesky(params, config)
-    # NOTE: fusing the per-task projections into one concatenated-rows solve
+    # NOTE: fusing the per-task projections into one concatenated-rows SOLVE
     # was measured SLOWER on TPU v5e (154 vs 178 steps/s at bench shapes) —
-    # the independent per-task solves overlap better.  Keep the task loop.
+    # the independent per-task solves overlap better.  With the round-3
+    # matmul fast path (P = Kfu @ iLuu^T, no solves) the trade-off changed:
+    # config.fuse_task_rows concatenates all tasks' rows into ONE projection
+    # (one Kfu build, one triangular matmul, one quad_diag — so the VE
+    # backward materializes ONE (Q, M, M) Lq-cotangent instead of T of
+    # them), then slices per task for the mixing + likelihood quadrature.
+    fused = config.fuse_task_rows
+    if fused:
+        X_all = jnp.concatenate([td.X for td in data], axis=0)
+        mq_all, gq_all, kd_all = latent_projections(
+            params, config, Luu, X_all, iLuu=iLuu, cache_grad=cache_grad)
+        offsets = [0]
+        for td in data:
+            offsets.append(offsets[-1] + td.X.shape[0])
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        m_F, v_F = task_qf_moments(params, config, Luu, X_t, t, iLuu=iLuu,
-                                   cache_grad=cache_grad)
+        if fused:
+            sl = slice(offsets[t], offsets[t + 1])
+            m_F, v_F = _mix_task(mq_all[:, sl], gq_all[:, sl], kd_all[:, sl],
+                                 params, config, t)
+        else:
+            m_F, v_F = task_qf_moments(params, config, Luu, X_t, t,
+                                       iLuu=iLuu, cache_grad=cache_grad)
         if params.lik_theta is not None and lik.n_theta:
             # trainable likelihood parameters (e.g. Ordinal cut-points)
             ve = lik.var_exp(Y_t, m_F, v_F, theta=params.lik_theta[t])

@@ -265,3 +265,44 @@ def test_rank2_coregionalization_matches_oracle():
         lsm[q, 0] *= np.exp(-eps)
         fd = (oracle_elbo(lsp) - oracle_elbo(lsm)) / (2 * eps)
         np.testing.assert_allclose(g[q, 0], fd, rtol=1e-5)
+
+
+def test_fused_task_rows_matches_per_task():
+    """config.fuse_task_rows: one concatenated-rows projection must
+    reproduce the per-task ELBO exactly and its gradients to
+    reduction-order rounding, across all 8 likelihoods, both
+    parameterizations, and with the VE/VM cached fast paths."""
+    from hetmogp_tpu.ops import linalg
+
+    for whiten in (False, True):
+        cfg, params, data, scales, _ = _mixed_problem(seed=1)
+        cfg = dataclasses.replace(cfg, whiten=whiten)
+        cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
+        s = jnp.asarray(scales)
+        e0, a0 = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfg))(
+            params, data)
+        e1, a1 = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfgF))(
+            params, data)
+        np.testing.assert_allclose(float(e1), float(e0), rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(a1["ve"]),
+                                   np.asarray(a0["ve"]), rtol=1e-13)
+        g0 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(p, data, s,
+                                                         cfg)[0]))(params)
+        g1 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(p, data, s,
+                                                         cfgF)[0]))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-9, atol=1e-9)
+    # cached fast paths (VE: iLuu matmuls; VM: cache_grad adjoints)
+    cfg, params, data, scales, _ = _mixed_problem(seed=2)
+    cfg = dataclasses.replace(cfg, whiten=True)
+    cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
+    s = jnp.asarray(scales)
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    iLuu = linalg.rec_tri_inverse(Luu)
+    for kw in (dict(Luu=Luu, iLuu=iLuu),
+               dict(Luu=Luu, iLuu=iLuu, cache_grad=True)):
+        e0, _ = elbo_mod.elbo_fn(params, data, s, cfg, **kw)
+        e1, _ = elbo_mod.elbo_fn(params, data, s, cfgF, **kw)
+        np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)

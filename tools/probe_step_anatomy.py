@@ -15,7 +15,7 @@ import numpy as np
 
 def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
         N_per=4096, vm_batch_fraction=0.25, optimizer="adam",
-        ve_fwd_precision="highest"):
+        ve_fwd_precision="highest", fuse_task_rows=False):
     import jax
     from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
                              HetGaussian, ModelConfig, Poisson, TrainConfig)
@@ -40,7 +40,8 @@ def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
                       adaptive_jitter=False,
-                      ve_fwd_precision=ve_fwd_precision)
+                      ve_fwd_precision=ve_fwd_precision,
+                      fuse_task_rows=fuse_task_rows)
     kw = dict(natgrad_lr=0.1) if optimizer.startswith("natgrad") else {}
     tc = TrainConfig(optimizer=optimizer, step_rate=0.005, minibatch="slice",
                      vm_batch_fraction=vm_batch_fraction,
@@ -77,6 +78,18 @@ if __name__ == "__main__":
                  ("alternating 1:1", dict(ve_steps_per_vm=1)),
                  ("4:1, vm full batch", dict(ve_steps_per_vm=4,
                                              vm_batch_fraction=1.0))]
+    if "--fuse" in sys.argv:
+        scenarios = [
+            ("per-task rows (HIGH)", dict(ve_steps_per_vm=4,
+                                          ve_fwd_precision="high")),
+            ("fused rows (HIGH)", dict(ve_steps_per_vm=4,
+                                       ve_fwd_precision="high",
+                                       fuse_task_rows=True)),
+            ("per-task pure VE (HIGH)", dict(ve_steps_per_vm=10 ** 6,
+                                             ve_fwd_precision="high")),
+            ("fused pure VE (HIGH)", dict(ve_steps_per_vm=10 ** 6,
+                                          ve_fwd_precision="high",
+                                          fuse_task_rows=True))]
     if "--natgrad" in sys.argv:
         scenarios = [("natgrad 4:1 mix", dict(ve_steps_per_vm=4,
                                               optimizer="natgrad_adam"))]
