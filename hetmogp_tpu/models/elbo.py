@@ -230,6 +230,32 @@ def _mix_task(mean_q, gamma_q, kdiag, params, config, task,
     return m_F, v_F
 
 
+def fused_task_moments(params: SVMOGPParams, config: ModelConfig, Luu,
+                       data, iLuu=None, q_moments=None,
+                       cache_grad: bool = False, var_floor: float = 0.0):
+    """(m_F, v_F) for every task from ONE concatenated-rows projection.
+
+    The config.fuse_task_rows fast path (docs/DESIGN.md §7g): all tasks'
+    batch rows go through a single Kfu build / triangular matmul /
+    quad_diag — the VE backward then forms one (Q, M, M) Lq-cotangent
+    instead of one per task — and the per-task mixing + clipping happens on
+    column slices.  Same math as per-task task_qf_moments (values equal to
+    float rounding of the different matmul blocking).
+    """
+    X_all = jnp.concatenate([td.X for td in data], axis=0)
+    mean_q, gamma_q, kdiag = latent_projections(
+        params, config, Luu, X_all, iLuu=iLuu, q_moments=q_moments,
+        cache_grad=cache_grad)
+    out = []
+    off = 0
+    for t in range(config.num_tasks):
+        sl = slice(off, off + data[t].X.shape[0])
+        off = sl.stop
+        out.append(_mix_task(mean_q[:, sl], gamma_q[:, sl], kdiag[:, sl],
+                             params, config, t, var_floor=var_floor))
+    return out
+
+
 def latent_projections_full(params: SVMOGPParams, config: ModelConfig,
                             Luu: jnp.ndarray, X: jnp.ndarray):
     """Full-covariance analogue of latent_projections.
@@ -363,21 +389,14 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
     # (one Kfu build, one triangular matmul, one quad_diag — so the VE
     # backward materializes ONE (Q, M, M) Lq-cotangent instead of T of
     # them), then slices per task for the mixing + likelihood quadrature.
-    fused = config.fuse_task_rows
-    if fused:
-        X_all = jnp.concatenate([td.X for td in data], axis=0)
-        mq_all, gq_all, kd_all = latent_projections(
-            params, config, Luu, X_all, iLuu=iLuu, cache_grad=cache_grad)
-        offsets = [0]
-        for td in data:
-            offsets.append(offsets[-1] + td.X.shape[0])
+    if config.fuse_task_rows:
+        moments = fused_task_moments(params, config, Luu, data, iLuu=iLuu,
+                                     cache_grad=cache_grad)
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        if fused:
-            sl = slice(offsets[t], offsets[t + 1])
-            m_F, v_F = _mix_task(mq_all[:, sl], gq_all[:, sl], kd_all[:, sl],
-                                 params, config, t)
+        if config.fuse_task_rows:
+            m_F, v_F = moments[t]
         else:
             m_F, v_F = task_qf_moments(params, config, Luu, X_t, t,
                                        iLuu=iLuu, cache_grad=cache_grad)

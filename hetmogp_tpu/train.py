@@ -1019,12 +1019,19 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
         Luu = elbo_mod.prior_cholesky(params, config)
 
     def ve_fn(m_, S_):
+        if config.fuse_task_rows:
+            moments = elbo_mod.fused_task_moments(
+                params, config, Luu, data, iLuu=iLuu, q_moments=(m_, S_),
+                var_floor=1e-12)
         ve_sums = []
         for t, lik in enumerate(config.likelihoods):
             X_t, Y_t, mask_t = data[t]
-            m_F, v_F = elbo_mod.task_qf_moments(
-                params, config, Luu, X_t, t, iLuu=iLuu,
-                q_moments=(m_, S_), var_floor=1e-12)
+            if config.fuse_task_rows:
+                m_F, v_F = moments[t]
+            else:
+                m_F, v_F = elbo_mod.task_qf_moments(
+                    params, config, Luu, X_t, t, iLuu=iLuu,
+                    q_moments=(m_, S_), var_floor=1e-12)
             if params.lik_theta is not None and lik.n_theta:
                 ve = lik.var_exp(Y_t, m_F, v_F, theta=params.lik_theta[t])
             else:

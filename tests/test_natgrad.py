@@ -199,3 +199,33 @@ def test_natgrad_vem_scan_trainer_on_device():
                   - np.asarray(params.q_mu)).max() > 1e-3
     assert np.abs(np.asarray(new_params.log_lengthscale)
                   - np.asarray(params.log_lengthscale)).max() > 1e-6
+
+
+def test_natgrad_fused_rows_matches_per_task():
+    """config.fuse_task_rows through the natural-gradient VE step: the
+    fused (m, S)-forward must give the same update, ELBO and aux as the
+    per-task loop (same math, different matmul blocking) on a
+    multi-task heterogeneous problem."""
+    import dataclasses
+
+    rng = np.random.RandomState(4)
+    liks = (L.HetGaussian(), L.Bernoulli(), L.Poisson())
+    cfg = ModelConfig(likelihoods=liks, num_latent=2, num_inducing=8,
+                      input_dim=1, whiten=True, dtype="float64")
+    X_list = [np.sort(rng.rand(n, 1), 0) for n in (40, 32, 24)]
+    Y_list = [rng.randn(40, 1), (rng.rand(32, 1) > 0.5).astype(float),
+              rng.poisson(2.0, (24, 1)).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 8)[:, None], lengthscale=0.3)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
+    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfg, 0.3)
+    p1, e1, a1 = train_mod.natgrad_ve_step(params, data, scales, cfgF, 0.3)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a1["ve"]), np.asarray(a0["ve"]),
+                               rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                                   atol=1e-11)
