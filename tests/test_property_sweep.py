@@ -71,6 +71,17 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
 
+    # the fused-rows path matches across the whole random config space
+    # (soak for flipping ModelConfig.fuse_task_rows's default; DESIGN §7g)
+    cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
+    valF, gradsF = jax.jit(jax.value_and_grad(
+        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfgF)[0]))(params)
+    np.testing.assert_allclose(float(valF), float(val), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(gradsF)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-7,
+                                   atol=1e-9)
+
     # whitened/un-whitened agree on the ELBO value
     other = dataclasses.replace(cfg, whiten=not whiten)
     params_other = (elbo_mod.unwhiten_params(params, cfg) if whiten
