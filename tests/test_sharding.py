@@ -462,3 +462,33 @@ def test_sharded_checkpoint_roundtrip_no_mesh(tmp_path):
         ckpt.load_checkpoint_sharded(path, params)
     with pytest.raises(ValueError, match="rng_key"):
         ckpt.save_checkpoint_sharded(path, params, extra={"rng_key": [1]})
+
+
+def test_fused_rows_on_2d_mesh_matches_unsharded():
+    """config.fuse_task_rows under a 2-D ('data','latent') mesh: the
+    concatenation of data-sharded per-task batches stays row-sharded and
+    the fused projection partitions like the per-task one — sharded step
+    == unsharded fused step == unsharded per-task step."""
+    import dataclasses
+
+    cfg, params, data, scales = _problem(M=8, Q=4)
+    cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    opt = train_mod.make_optimizer(tc)
+
+    ref_step = train_mod.make_svi_step(cfg, tc, vem=True)
+    s1, m1 = ref_step(train_mod.TrainState(params, opt.init(params),
+                                           jnp.asarray(0)), data, scales)
+
+    mesh = sharding.model_mesh(jax.devices()[:8], latent=2)
+    sstep = sharding.make_sharded_svi_step(cfgF, tc, mesh, vem=True)
+    s0 = sharding.shard_state(
+        mesh, train_mod.TrainState(params, opt.init(params), jnp.asarray(0)))
+    s2, m2 = sstep(s0, sharding.shard_batch(mesh, data), scales)
+
+    np.testing.assert_allclose(float(m2["elbo"]), float(m1["elbo"]),
+                               rtol=1e-11)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+    assert not s2.params.q_sqrt.sharding.is_fully_replicated
