@@ -29,7 +29,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=200,
+                    help="total optimizer steps (floored at 100 so the "
+                         "crash-at-half + resume demo stays meaningful)")
     ap.add_argument("--workdir", default=None,
                     help="checkpoint/artifact directory (default: tmp)")
     args = ap.parse_args()
@@ -57,7 +59,8 @@ def main():
     # step_<n> checkpoint and continues the exact step/RNG stream.
     tc = TrainConfig(optimizer="adam", step_rate=0.01, minibatch="slice")
     ckdir = workdir / "ckpts"
-    half = (args.steps // 2) // 50 * 50 or 50
+    args.steps = max(args.steps, 100)
+    half = (args.steps // 2) // 50 * 50
     model.fit_svi_on_device(batch_size=256, num_steps=half, steps_per_call=50,
                             train_config=tc, checkpoint_dir=ckdir,
                             keep_last=2)          # "the job dies here"

@@ -87,12 +87,15 @@ class SVMOGP:
 
         meta = ckpt.peek_meta(path)
         try:
-            cfg = ModelConfig.from_dict(meta["extra"]["model_config"])
+            cfg_dict = meta["extra"]["model_config"]
         except KeyError:
             raise ValueError(
                 f"{path!s} is a bare params checkpoint, not a model saved "
                 "with SVMOGP.save (no model_config in extra); use "
                 "checkpoint.load_checkpoint with your own templates")
+        # a malformed config dict raises its own KeyError/TypeError here —
+        # deliberately NOT folded into the bare-checkpoint error above
+        cfg = ModelConfig.from_dict(cfg_dict)
         template = _init(jax.random.PRNGKey(0), cfg,
                          np.zeros((cfg.num_inducing, cfg.input_dim)),
                          with_lik_theta=meta["extra"]["has_lik_theta"])

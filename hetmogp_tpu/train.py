@@ -764,23 +764,24 @@ def prepare_dataset_on_device(config: ModelConfig, X_list, Y_list,
     return jax.device_put(dataset)
 
 
-def _latest_step_checkpoint(ckpt_dir):
-    """Newest ``step_<n>`` subdirectory of ckpt_dir, as (n, path) or None."""
+def _step_checkpoints(ckpt_dir):
+    """All ``step_<n>`` subdirectories of ckpt_dir as a sorted
+    [(n, path), ...] — the single parser shared by resume selection and
+    keep-last rotation so both accept exactly the same names."""
     from pathlib import Path
 
     d = Path(ckpt_dir)
     if not d.is_dir():
-        return None
-    best = None
-    for p in d.iterdir():
-        if p.is_dir() and p.name.startswith("step_"):
-            try:
-                n = int(p.name[5:])
-            except ValueError:
-                continue
-            if best is None or n > best[0]:
-                best = (n, p)
-    return best
+        return []
+    return sorted((int(p.name[5:]), p) for p in d.iterdir()
+                  if p.is_dir() and p.name.startswith("step_")
+                  and p.name[5:].isdigit())
+
+
+def _latest_step_checkpoint(ckpt_dir):
+    """Newest ``step_<n>`` subdirectory of ckpt_dir, as (n, path) or None."""
+    found = _step_checkpoints(ckpt_dir)
+    return found[-1] if found else None
 
 
 def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
@@ -809,7 +810,10 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     RNG key, sharded-state safe).  Saves land at scan-chunk boundaries —
     every ``checkpoint_every`` steps (rounded up to ``steps_per_call``;
     default one per chunk) plus one at ``num_steps`` — as
-    ``{checkpoint_dir}/step_{n}``, keeping the newest ``keep_last``.  With
+    ``{checkpoint_dir}/step_{n}``, keeping the newest ``keep_last``.  A
+    fresh run (``resume=False``) into a directory that already holds
+    ``step_`` checkpoints raises — rotation would otherwise delete the new
+    run's saves while keeping the stale higher-numbered ones.  With
     ``resume=True`` the newest checkpoint is restored first and training
     continues its exact step/RNG stream: a killed run rerun with the same
     arguments produces the trajectory of the uninterrupted run (the
@@ -834,23 +838,37 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     # the scan runner donates its input state, which would otherwise
     # consume the CALLER's param buffers — train on a private copy
     params = jax.tree_util.tree_map(jnp.array, params)
+    done = 0
+    step0 = jnp.asarray(0)
+    opt_state0 = None
+    if checkpoint_dir is not None:
+        existing = _step_checkpoints(checkpoint_dir)
+        if existing and not resume:
+            raise ValueError(
+                f"{checkpoint_dir!s} already contains checkpoints "
+                f"(step_{existing[-1][0]} newest); pass resume=True to "
+                "continue that run, or use an empty directory — starting "
+                "fresh here would rotate away this run's checkpoints while "
+                "keeping the stale higher-numbered ones")
+        if existing and resume:
+            from hetmogp_tpu import checkpoint as _ckpt
+
+            done, path = existing[-1]
+            # templates need only shapes/dtypes — no Luu/iLuu factorization
+            params, opt_state0, step2, extra = _ckpt.load_checkpoint_sharded(
+                path, params, opt_state_template=optimizer.init(params),
+                mesh=mesh)
+            step0 = jnp.asarray(step2)
+            if "rng_key" in extra:
+                key = jnp.asarray(extra["rng_key"], dtype=jnp.uint32)
+            # else: a manual save_checkpoint_sharded without rng_key —
+            # continue with the caller's key (correct but a different
+            # minibatch stream than the uninterrupted run)
     state = init_train_state(params, config, optimizer, cache_luu=vem,
                              fast_projection=train_config.fast_projection)
-    done = 0
-    if checkpoint_dir is not None and resume:
-        from hetmogp_tpu import checkpoint as _ckpt
-
-        latest = _latest_step_checkpoint(checkpoint_dir)
-        if latest is not None:
-            done, path = latest
-            p2, opt2, step2, extra = _ckpt.load_checkpoint_sharded(
-                path, state.params, opt_state_template=state.opt_state,
-                mesh=mesh)
-            state = init_train_state(
-                p2, config, optimizer, cache_luu=vem,
-                fast_projection=train_config.fast_projection)._replace(
-                    opt_state=opt2, step=jnp.asarray(step2, state.step.dtype))
-            key = jnp.asarray(extra["rng_key"], dtype=jnp.uint32)
+    if opt_state0 is not None:
+        state = state._replace(opt_state=opt_state0,
+                               step=step0.astype(state.step.dtype))
     if mesh is not None:
         from hetmogp_tpu.parallel import sharding as _sh
 
@@ -872,11 +890,7 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
             opt_state=state.opt_state, step=int(state.step),
             rng_key=np.asarray(key))
         if keep_last > 0:
-            kept = sorted((int(p.name[5:]), p)
-                          for p in Path(checkpoint_dir).iterdir()
-                          if p.is_dir() and p.name.startswith("step_")
-                          and p.name[5:].isdigit())
-            for _, p in kept[:-keep_last]:
+            for _, p in _step_checkpoints(checkpoint_dir)[:-keep_last]:
                 shutil.rmtree(p)
 
     chunks = []

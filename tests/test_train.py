@@ -682,6 +682,16 @@ def test_periodic_checkpoint_and_crash_resume(tmp_path):
                     jax.tree_util.tree_leaves(pB)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12,
                                    atol=1e-12)
+    # a fresh run (resume=False) into a directory with existing checkpoints
+    # must refuse: rotation would delete the new run's saves while keeping
+    # the stale higher-numbered ones
+    import pytest
+
+    with pytest.raises(ValueError, match="resume=True"):
+        train_mod.svi_fit_on_device(
+            params, cfg, tc, X_list, Y_list, num_steps=20, key=key,
+            checkpoint_dir=ckdir, **kw)
+
     # final checkpoint written at num_steps; resume past the end is a no-op
     assert (ckdir / "step_20").is_dir()
     pC, hC = train_mod.svi_fit_on_device(
