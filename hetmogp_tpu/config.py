@@ -92,11 +92,13 @@ class ModelConfig:
     # concatenated batch (one Kfu build / one triangular matmul / one
     # quad_diag; the VE backward then forms ONE (Q, M, M) Lq-cotangent
     # instead of one per task) and slice per task for mixing + quadrature.
-    # Same math, different matmul blocking: ELBO value matches exactly,
-    # gradients to reduction-order rounding (~1e-10 rel in f64).  Measured
-    # on TPU v5e at bench shapes (6 tasks, B=512, M=1024): docs/DESIGN.md
-    # §7g.
-    fuse_task_rows: bool = False
+    # Same math, different matmul blocking: ELBO value matches the
+    # per-task path exactly, gradients to reduction-order rounding
+    # (~1e-10 rel in f64).  +5.8% flagship / +31% at M=2048 on TPU v5e
+    # (docs/DESIGN.md §7g); default ON after soak (random-config property
+    # sweep, 2-D-mesh equivalence, 1500-step trajectory A/B).  False
+    # restores the per-task loop (oracle-comparison mode).
+    fuse_task_rows: bool = True
 
     # ---- serialization ----------------------------------------------------------
     def to_dict(self) -> dict:

@@ -276,7 +276,8 @@ def test_fused_task_rows_matches_per_task():
 
     for whiten in (False, True):
         cfg, params, data, scales, _ = _mixed_problem(seed=1)
-        cfg = dataclasses.replace(cfg, whiten=whiten)
+        cfg = dataclasses.replace(cfg, whiten=whiten,
+                                  fuse_task_rows=False)  # per-task reference
         cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
         s = jnp.asarray(scales)
         e0, a0 = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfg))(
@@ -296,7 +297,7 @@ def test_fused_task_rows_matches_per_task():
                                        rtol=1e-9, atol=1e-9)
     # cached fast paths (VE: iLuu matmuls; VM: cache_grad adjoints)
     cfg, params, data, scales, _ = _mixed_problem(seed=2)
-    cfg = dataclasses.replace(cfg, whiten=True)
+    cfg = dataclasses.replace(cfg, whiten=True, fuse_task_rows=False)
     cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
     s = jnp.asarray(scales)
     Luu = elbo_mod.prior_cholesky(params, cfg)

@@ -219,8 +219,9 @@ def test_natgrad_fused_rows_matches_per_task():
                          np.linspace(0, 1, 8)[:, None], lengthscale=0.3)
     data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
     scales = jnp.asarray(scales, cfg.np_dtype)
+    cfgP = dataclasses.replace(cfg, fuse_task_rows=False)
     cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
-    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfg, 0.3)
+    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfgP, 0.3)
     p1, e1, a1 = train_mod.natgrad_ve_step(params, data, scales, cfgF, 0.3)
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a1["ve"]), np.asarray(a0["ve"]),

@@ -71,14 +71,14 @@ def test_random_config_elbo_grads_predictions_finite(seed):
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
 
-    # the fused-rows path matches across the whole random config space
-    # (soak for flipping ModelConfig.fuse_task_rows's default; DESIGN §7g)
-    cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
-    valF, gradsF = jax.jit(jax.value_and_grad(
-        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfgF)[0]))(params)
-    np.testing.assert_allclose(float(valF), float(val), rtol=1e-12)
+    # the fused-rows path (the default) matches the per-task loop across
+    # the whole random config space (DESIGN §7g)
+    cfgP = dataclasses.replace(cfg, fuse_task_rows=False)
+    valP, gradsP = jax.jit(jax.value_and_grad(
+        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfgP)[0]))(params)
+    np.testing.assert_allclose(float(valP), float(val), rtol=1e-12)
     for a, b in zip(jax.tree_util.tree_leaves(grads),
-                    jax.tree_util.tree_leaves(gradsF)):
+                    jax.tree_util.tree_leaves(gradsP)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-7,
                                    atol=1e-9)
 

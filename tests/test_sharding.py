@@ -472,11 +472,12 @@ def test_fused_rows_on_2d_mesh_matches_unsharded():
     import dataclasses
 
     cfg, params, data, scales = _problem(M=8, Q=4)
+    cfgP = dataclasses.replace(cfg, fuse_task_rows=False)
     cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
     tc = TrainConfig(optimizer="adam", step_rate=0.01)
     opt = train_mod.make_optimizer(tc)
 
-    ref_step = train_mod.make_svi_step(cfg, tc, vem=True)
+    ref_step = train_mod.make_svi_step(cfgP, tc, vem=True)
     s1, m1 = ref_step(train_mod.TrainState(params, opt.init(params),
                                            jnp.asarray(0)), data, scales)
 
