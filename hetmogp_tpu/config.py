@@ -10,7 +10,7 @@ close over a config statically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -242,6 +242,19 @@ class TrainConfig:
     ve_steps_per_vm: int = 4
     optimizer: str = "adadelta"  # "adadelta" | "adam" | "natgrad_adam"
     natgrad_lr: float = 0.1
+    # Learning-rate schedule for the adam / natgrad_adam optimizers (the
+    # reference trains at a fixed rate; schedules are a production knob).
+    # None = constant step_rate.  "cosine" (optax.cosine_decay_schedule,
+    # kwargs: decay_steps, alpha), "warmup_cosine"
+    # (optax.warmup_cosine_decay_schedule, kwargs: warmup_steps,
+    # decay_steps, init_value, end_value), "exponential"
+    # (optax.exponential_decay, kwargs: transition_steps, decay_rate).
+    # step_rate is the peak value.  kwargs as a tuple of (name, value)
+    # pairs so the config stays hashable (jit static); the schedule's step
+    # count lives in the optimizer state, so it checkpoints/resumes and
+    # scans correctly.  Ignored by the climin-parity adadelta.
+    lr_schedule: Optional[str] = None
+    lr_schedule_kwargs: Tuple = ()
     learn_inducing: bool = True  # optZ in vem_algorithm (util.py:311)
     learn_W: bool = True  # non_chained in vem_algorithm (util.py:313)
     shuffle: bool = True  # reference cycles batches sequentially due to a

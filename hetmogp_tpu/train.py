@@ -264,16 +264,48 @@ def adadelta_lookahead_point(params, opt_state, momentum: float, mask=None):
         lambda p, s: p - momentum * s, params, step)
 
 
+def make_lr_schedule(train_config: TrainConfig):
+    """step_rate or an optax schedule from TrainConfig.lr_schedule.
+
+    The schedule step count lives inside the optax optimizer state, so it
+    rides lax.scan and checkpoints/resumes with the rest of the state.
+    """
+    if train_config.lr_schedule is None:
+        return train_config.step_rate
+    kw = dict(train_config.lr_schedule_kwargs)
+    peak = train_config.step_rate
+    if train_config.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            peak, decay_steps=int(kw.get("decay_steps", 10_000)),
+            alpha=float(kw.get("alpha", 0.0)))
+    if train_config.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=float(kw.get("init_value", 0.0)), peak_value=peak,
+            warmup_steps=int(kw.get("warmup_steps", 100)),
+            decay_steps=int(kw.get("decay_steps", 10_000)),
+            end_value=float(kw.get("end_value", 0.0)))
+    if train_config.lr_schedule == "exponential":
+        return optax.exponential_decay(
+            peak, transition_steps=int(kw.get("transition_steps", 1_000)),
+            decay_rate=float(kw.get("decay_rate", 0.9)))
+    raise ValueError(f"unknown lr_schedule {train_config.lr_schedule!r}")
+
+
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
     if train_config.optimizer == "adadelta":
         # exact climin rule (see climin_adadelta); the SVI step adds the
-        # momentum-lookahead gradient evaluation
+        # momentum-lookahead gradient evaluation.  Schedules are not
+        # supported here — this optimizer exists for reference parity.
+        if train_config.lr_schedule is not None:
+            raise ValueError("lr_schedule requires optimizer='adam' or "
+                             "'natgrad_adam' (adadelta is the climin-parity "
+                             "rule)")
         return climin_adadelta(train_config.step_rate,
                                decay=train_config.adadelta_decay,
                                momentum=train_config.momentum,
                                offset=train_config.adadelta_offset)
     if train_config.optimizer in ("adam", "natgrad_adam"):
-        return optax.adam(train_config.step_rate)
+        return optax.adam(make_lr_schedule(train_config))
     raise ValueError(f"unknown optimizer {train_config.optimizer!r}")
 
 
