@@ -196,7 +196,9 @@ class SVMOGP:
                           vem: bool = True, steps_per_call: int = 100,
                           mesh=None, key=None, checkpoint_dir=None,
                           checkpoint_every: Optional[int] = None,
-                          keep_last: int = 2, resume: bool = False):
+                          keep_last: int = 2, resume: bool = False,
+                          early_stop_tol: Optional[float] = None,
+                          early_stop_patience: int = 3):
         """SVI with the whole loop on-device (lax.scan over HBM-resident
         data) — the production TPU path.  mesh: optional 1-D ('data',) or
         2-D ('data','latent') jax.sharding.Mesh for multi-chip training
@@ -212,7 +214,8 @@ class SVMOGP:
             batch_size, num_steps, vem=vem, steps_per_call=steps_per_call,
             mesh=mesh, key=key, checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, keep_last=keep_last,
-            resume=resume)
+            resume=resume, early_stop_tol=early_stop_tol,
+            early_stop_patience=early_stop_patience)
         self.elbo_history = np.concatenate([self.elbo_history, hist])
         return self
 

@@ -822,8 +822,18 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                       vem: bool = True, steps_per_call: int = 100,
                       mesh=None, dataset=None, checkpoint_dir=None,
                       checkpoint_every: Optional[int] = None,
-                      keep_last: int = 2, resume: bool = False):
+                      keep_last: int = 2, resume: bool = False,
+                      early_stop_tol: Optional[float] = None,
+                      early_stop_patience: int = 3):
     """Convenience wrapper over make_scan_trainer; returns (params, history).
+
+    early_stop_tol: optional convergence stop at scan-chunk granularity
+    (the finest the on-device loop surfaces without paying a per-step
+    host sync): training stops once the chunk-mean ELBO has failed to
+    improve on its best by more than ``early_stop_tol`` for
+    ``early_stop_patience`` consecutive chunks.  A final checkpoint is
+    written on early stop when checkpointing is on.  Chunk means (not
+    last-step values) are compared so minibatch noise does not trip it.
 
     mesh: optional jax.sharding.Mesh — a 1-D ('data',) mesh shards batch
     rows across devices; a 2-D ('data','latent') mesh (parallel.model_mesh)
@@ -926,13 +936,24 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
                 shutil.rmtree(p)
 
     chunks = []
+    best_mean, stale, stopped = -np.inf, 0, False
     while done + steps_per_call <= num_steps:
         key, sub = jax.random.split(key)
         state, elbos = runner(state, dataset, sub)
         chunks.append(np.asarray(elbos))
         done += steps_per_call
         maybe_save(done - steps_per_call)
-    if done < num_steps:
+        if early_stop_tol is not None:
+            m = float(chunks[-1].mean())
+            if m > best_mean + early_stop_tol:
+                best_mean, stale = m, 0
+            else:
+                stale += 1
+            if stale >= early_stop_patience:
+                stopped = True
+                maybe_save(-1)  # force a final checkpoint at this chunk
+                break
+    if not stopped and done < num_steps:
         # remainder chunk with its own (smaller) compiled runner so the
         # returned params correspond exactly to num_steps optimizer steps
         rem_runner = make_scan_trainer(config, train_config, task_sizes,

@@ -762,3 +762,24 @@ def test_lr_schedule_in_scan_trainer_and_resume(tmp_path):
         train_mod.make_optimizer(TrainConfig(optimizer="adadelta",
                                              lr_schedule="cosine"))
     del tc_const
+
+
+def test_early_stop_at_chunk_granularity(tmp_path):
+    """early_stop_tol: with an unreachable improvement threshold, training
+    stops after (1 + patience) chunks, the history is truncated to the
+    steps actually run, and a final checkpoint is written."""
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    ckdir = tmp_path / "ck"
+    p1, hist = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=(16, 16), num_steps=50,
+        key=jax.random.PRNGKey(1), steps_per_call=5, vem=True,
+        checkpoint_dir=ckdir, early_stop_tol=1e12, early_stop_patience=2)
+    assert hist.shape == (15,)  # 1 improving chunk + 2 stale = 3 chunks
+    assert (ckdir / "step_15").is_dir()
+    # sane tolerance: converging problems run to num_steps
+    p2, hist2 = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=(16, 16), num_steps=30,
+        key=jax.random.PRNGKey(1), steps_per_call=5, vem=True,
+        early_stop_tol=1e-9, early_stop_patience=3)
+    assert hist2.shape == (30,)
