@@ -242,8 +242,10 @@ class TrainConfig:
     ve_steps_per_vm: int = 4
     optimizer: str = "adadelta"  # "adadelta" | "adam" | "natgrad_adam"
     natgrad_lr: float = 0.1
-    # Learning-rate schedule for the adam / natgrad_adam optimizers (the
-    # reference trains at a fixed rate; schedules are a production knob).
+    # Learning-rate schedule for the optax adam step (the reference trains
+    # at a fixed rate; schedules are a production knob).  Under
+    # optimizer="natgrad_adam" this schedules only adam's HYPER updates;
+    # the natural-gradient rate on q(u) stays at the fixed natgrad_lr.
     # None = constant step_rate.  "cosine" (optax.cosine_decay_schedule,
     # kwargs: decay_steps, alpha), "warmup_cosine"
     # (optax.warmup_cosine_decay_schedule, kwargs: warmup_steps,

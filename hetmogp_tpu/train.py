@@ -273,6 +273,16 @@ def make_lr_schedule(train_config: TrainConfig):
     if train_config.lr_schedule is None:
         return train_config.step_rate
     kw = dict(train_config.lr_schedule_kwargs)
+    known = {"cosine": {"decay_steps", "alpha"},
+             "warmup_cosine": {"warmup_steps", "decay_steps", "init_value",
+                               "end_value"},
+             "exponential": {"transition_steps", "decay_rate"}}
+    allowed = known.get(train_config.lr_schedule, set())
+    unknown = set(kw) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown lr_schedule_kwargs {sorted(unknown)} for "
+            f"{train_config.lr_schedule!r}; allowed: {sorted(allowed)}")
     peak = train_config.step_rate
     if train_config.lr_schedule == "cosine":
         return optax.cosine_decay_schedule(
@@ -868,6 +878,10 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
     """
     if isinstance(batch_sizes, int):
         batch_sizes = tuple([batch_sizes] * len(X_list))
+    if early_stop_tol is not None and early_stop_patience < 1:
+        raise ValueError("early_stop_patience must be >= 1 (patience 0 "
+                         "would stop after the first chunk even while "
+                         "improving)")
     key = key if key is not None else jax.random.PRNGKey(train_config.seed)
     task_sizes = tuple(int(np.shape(x)[0]) for x in X_list)
     if dataset is None:
@@ -916,8 +930,11 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
 
         state = _sh.shard_state(mesh, state)
 
+    last_saved = -1
+
     def maybe_save(prev_done):
-        if checkpoint_dir is None:
+        nonlocal last_saved
+        if checkpoint_dir is None or last_saved == done:
             return
         every = checkpoint_every or steps_per_call
         if done < num_steps and done // every == prev_done // every:
@@ -931,6 +948,7 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
             Path(checkpoint_dir) / f"step_{done}", state.params,
             opt_state=state.opt_state, step=int(state.step),
             rng_key=np.asarray(key))
+        last_saved = done
         if keep_last > 0:
             for _, p in _step_checkpoints(checkpoint_dir)[:-keep_last]:
                 shutil.rmtree(p)

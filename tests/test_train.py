@@ -725,11 +725,11 @@ def test_lr_schedule_in_scan_trainer_and_resume(tmp_path):
         params, cfg, tc, X_list, Y_list, num_steps=10, key=key, **kw)
     assert np.isfinite(hA).all() and hA.shape == (10,)
 
-    # hand-built reference: same steps through make_svi_step with an
-    # explicitly scheduled adam must match the TrainConfig-driven run
-    # (the scan trainer and the host-stream step share the optimizer)
-    tc_const = TrainConfig(optimizer="adam", step_rate=0.05)
-    opt_ref = optax.adam(sched)
+    # hand-built reference: make_optimizer's wiring must match an
+    # INDEPENDENTLY constructed optax.adam(exponential_decay) update for
+    # the same config (catches a mis-mapped kwarg or peak)
+    opt_ref = optax.adam(optax.exponential_decay(0.05, transition_steps=5,
+                                                 decay_rate=0.5))
     opt_cfg = train_mod.make_optimizer(tc)
     g = jnp.ones_like(params.q_mu)
     s_ref, s_cfg = opt_ref.init(params), opt_cfg.init(params)
@@ -761,7 +761,19 @@ def test_lr_schedule_in_scan_trainer_and_resume(tmp_path):
     with pytest.raises(ValueError, match="adadelta"):
         train_mod.make_optimizer(TrainConfig(optimizer="adadelta",
                                              lr_schedule="cosine"))
-    del tc_const
+    # misspelled/unknown schedule kwargs are rejected, not silently
+    # defaulted
+    with pytest.raises(ValueError, match="decay_step"):
+        train_mod.make_optimizer(TrainConfig(
+            optimizer="adam", lr_schedule="cosine",
+            lr_schedule_kwargs=(("decay_step", 500),)))
+    # patience < 1 would stop after the first chunk even while improving
+    cfg2, params2, X2, Y2 = _problem(n=16)
+    with pytest.raises(ValueError, match="patience"):
+        train_mod.svi_fit_on_device(
+            params2, cfg2, TrainConfig(optimizer="adam"), X2, Y2,
+            batch_sizes=(8, 8), num_steps=5, early_stop_tol=1.0,
+            early_stop_patience=0)
 
 
 def test_early_stop_at_chunk_granularity(tmp_path):
