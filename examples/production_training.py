@@ -57,9 +57,16 @@ def main():
     # ---- train with periodic checkpoints + exact resume ------------------
     # A killed job rerun with the same arguments restores the newest
     # step_<n> checkpoint and continues the exact step/RNG stream.
-    tc = TrainConfig(optimizer="adam", step_rate=0.01, minibatch="slice")
-    ckdir = workdir / "ckpts"
+    # production knobs absent upstream: warmup-cosine LR schedule (the
+    # schedule count lives in the optimizer state, so it resumes exactly)
+    # and global-norm gradient clipping
     args.steps = max(args.steps, 100)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01, minibatch="slice",
+                     lr_schedule="warmup_cosine",
+                     lr_schedule_kwargs=(("warmup_steps", 20),
+                                         ("decay_steps", args.steps)),
+                     clip_grad_norm=100.0)
+    ckdir = workdir / "ckpts"
     half = (args.steps // 2) // 50 * 50
     model.fit_svi_on_device(batch_size=256, num_steps=half, steps_per_call=50,
                             train_config=tc, checkpoint_dir=ckdir,

@@ -257,6 +257,12 @@ class TrainConfig:
     # scans correctly.  Ignored by the climin-parity adadelta.
     lr_schedule: Optional[str] = None
     lr_schedule_kwargs: Tuple = ()
+    # Global-norm gradient clipping (optax.clip_by_global_norm) applied
+    # before the adam / natgrad_adam update; None = off.  A stability knob
+    # for aggressive step rates on heavy-tailed likelihoods — the skip
+    # guard (skip_nonfinite_steps) discards poisoned steps, this one
+    # prevents borderline ones.  Ignored by the climin-parity adadelta.
+    clip_grad_norm: Optional[float] = None
     learn_inducing: bool = True  # optZ in vem_algorithm (util.py:311)
     learn_W: bool = True  # non_chained in vem_algorithm (util.py:313)
     shuffle: bool = True  # reference cycles batches sequentially due to a

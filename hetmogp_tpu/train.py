@@ -304,18 +304,23 @@ def make_lr_schedule(train_config: TrainConfig):
 def make_optimizer(train_config: TrainConfig) -> optax.GradientTransformation:
     if train_config.optimizer == "adadelta":
         # exact climin rule (see climin_adadelta); the SVI step adds the
-        # momentum-lookahead gradient evaluation.  Schedules are not
-        # supported here — this optimizer exists for reference parity.
-        if train_config.lr_schedule is not None:
-            raise ValueError("lr_schedule requires optimizer='adam' or "
-                             "'natgrad_adam' (adadelta is the climin-parity "
-                             "rule)")
+        # momentum-lookahead gradient evaluation.  Schedules/clipping are
+        # not supported here — this optimizer exists for reference parity.
+        if (train_config.lr_schedule is not None
+                or train_config.clip_grad_norm is not None):
+            raise ValueError("lr_schedule/clip_grad_norm require "
+                             "optimizer='adam' or 'natgrad_adam' (adadelta "
+                             "is the climin-parity rule)")
         return climin_adadelta(train_config.step_rate,
                                decay=train_config.adadelta_decay,
                                momentum=train_config.momentum,
                                offset=train_config.adadelta_offset)
     if train_config.optimizer in ("adam", "natgrad_adam"):
-        return optax.adam(make_lr_schedule(train_config))
+        adam = optax.adam(make_lr_schedule(train_config))
+        if train_config.clip_grad_norm is not None:
+            return optax.chain(
+                optax.clip_by_global_norm(train_config.clip_grad_norm), adam)
+        return adam
     raise ValueError(f"unknown optimizer {train_config.optimizer!r}")
 
 

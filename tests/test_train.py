@@ -795,3 +795,32 @@ def test_early_stop_at_chunk_granularity(tmp_path):
         key=jax.random.PRNGKey(1), steps_per_call=5, vem=True,
         early_stop_tol=1e-9, early_stop_patience=3)
     assert hist2.shape == (30,)
+
+
+def test_clip_grad_norm_bounds_updates():
+    """TrainConfig.clip_grad_norm: updates match optax.chain(clip, adam)
+    exactly; adadelta rejects the knob; training runs finite with it on."""
+    import optax
+    import pytest
+
+    cfg, params, X_list, Y_list = _problem()
+    tc = TrainConfig(optimizer="adam", step_rate=0.05, clip_grad_norm=1e-3)
+    opt_cfg = train_mod.make_optimizer(tc)
+    opt_ref = optax.chain(optax.clip_by_global_norm(1e-3), optax.adam(0.05))
+    grads = jax.tree_util.tree_map(
+        lambda a: 100.0 * jnp.ones_like(a), params)  # huge gradients
+    s_cfg, s_ref = opt_cfg.init(params), opt_ref.init(params)
+    u_cfg, _ = opt_cfg.update(grads, s_cfg, params)
+    u_ref, _ = opt_ref.update(grads, s_ref, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u_ref),
+                    jax.tree_util.tree_leaves(u_cfg)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+    p2, hist = train_mod.svi_fit_on_device(
+        params, cfg, tc, X_list, Y_list, batch_sizes=(16, 16), num_steps=10,
+        key=jax.random.PRNGKey(0), steps_per_call=5)
+    assert np.isfinite(hist).all()
+
+    with pytest.raises(ValueError, match="adadelta"):
+        train_mod.make_optimizer(TrainConfig(optimizer="adadelta",
+                                             clip_grad_norm=1.0))
