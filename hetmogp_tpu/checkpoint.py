@@ -16,6 +16,7 @@ The reference has no persistence at all (SURVEY.md §5).  Two formats:
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
@@ -126,9 +127,14 @@ def save_checkpoint_sharded(path, params: SVMOGPParams, opt_state: Any = None,
     Accepts the same payload as ``save_checkpoint`` but writes an Orbax
     directory instead of an npz: sharded jax.Arrays are serialized shard by
     shard (no host gather of the full array is required on multi-host
-    setups), and an existing checkpoint at ``path`` is overwritten
-    atomically.  extra must be JSON-serializable; the RNG key goes through
-    ``rng_key`` (returned by the loader as ``extra['rng_key']``).
+    setups).  Overwriting an existing checkpoint at ``path`` is crash-safe:
+    the new checkpoint is written to a sibling ``<name>.tmp`` directory
+    first and only swapped in once complete, so a crash mid-save always
+    leaves either the old or the new checkpoint intact at ``path`` (plus
+    possibly a ``.tmp``/``.old`` leftover, which the next save reclaims).
+    The swap is a host-side rename on this process's filesystem view.
+    extra must be JSON-serializable; the RNG key goes through ``rng_key``
+    (returned by the loader as ``extra['rng_key']``).
     """
     if extra and "rng_key" in extra:
         raise ValueError(
@@ -144,10 +150,19 @@ def save_checkpoint_sharded(path, params: SVMOGPParams, opt_state: Any = None,
         tree["opt_state"] = opt_state
     if rng_key is not None:
         tree["rng_key"] = np.asarray(rng_key)
-    ckptr.save(Path(path).resolve(), args=ocp.args.StandardSave(tree),
-               force=True)
+    path = Path(path).resolve()
+    tmp = path.with_name(path.name + ".tmp")
+    ckptr.save(tmp, args=ocp.args.StandardSave(tree), force=True)
     # the sync Checkpointer blocks; tolerate an async drop-in
     getattr(ckptr, "wait_until_finished", lambda: None)()
+    # swap: the old checkpoint survives until the new one is fully on disk
+    old = path.with_name(path.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _leaf_dtype(leaf):

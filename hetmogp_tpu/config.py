@@ -97,7 +97,10 @@ class ModelConfig:
     # (~1e-10 rel in f64).  +5.8% flagship / +31% at M=2048 on TPU v5e
     # (docs/DESIGN.md §7g); default ON after soak (random-config property
     # sweep, 2-D-mesh equivalence, 1500-step trajectory A/B).  False
-    # restores the per-task loop (oracle-comparison mode).
+    # restores the per-task loop (oracle-comparison mode).  Only consulted
+    # when the cached-inverse matmul projection is active (iLuu present,
+    # i.e. fast_projection trainers): on the solve path the fused blocking
+    # was measured SLOWER (154 vs 178 steps/s) and is never taken.
     fuse_task_rows: bool = True
 
     # ---- serialization ----------------------------------------------------------
@@ -298,9 +301,12 @@ class TrainConfig:
     # is fixed, gaussian.py:21-24).  Requires params built with
     # init_params(..., with_lik_theta=True).
     learn_lik_params: bool = False
-    # Production fault tolerance: when a step's ELBO comes out non-finite,
-    # discard that step's parameter/optimizer/cache updates (the step
-    # counter still advances so the VE/VM schedule stays aligned) and
+    # Production fault tolerance: when a step's ELBO, gradient global
+    # norm, or (natgrad) q-update comes out non-finite, discard that
+    # step's parameter/optimizer/cache updates (the step counter still
+    # advances so the VE/VM schedule stays aligned — but adam moments and
+    # any LR schedule's internal count tick only on ACCEPTED updates, so
+    # repeated skips pause the schedule rather than advancing it) and
     # report metrics["skipped"]=1.  Off by default (reference semantics:
     # a bad step poisons the state, matching GPy's behavior); zero cost
     # when off (static flag).

@@ -36,6 +36,27 @@ class Categorical(Likelihood):
     # O(mc_samples) regardless of K.  0 keeps the grid (oracle parity).
     mc_samples: int = 0
 
+    # constructor-time guard: beyond this many tensor-grid nodes PER DATA
+    # POINT the grid path is an OOM/hang, not a slow run — fail fast with
+    # guidance instead (a Categorical(K=8) at T=10 would silently build a
+    # 10^7-node grid; the reference has the same blow-up,
+    # categorical.py:139-158, it just never instantiates K that large)
+    MAX_GRID_NODES = 100_000
+
+    def __post_init__(self):
+        if self.K < 2:
+            raise ValueError(f"Categorical needs K >= 2 classes, got {self.K}")
+        if self.mc_samples == 0:
+            nodes = self.T_var_exp ** self.dim_f
+            if nodes > self.MAX_GRID_NODES:
+                raise ValueError(
+                    f"Categorical(K={self.K}) with the exact tensor-product "
+                    f"grid needs T^(K-1) = {self.T_var_exp}^{self.dim_f} = "
+                    f"{nodes:.3g} quadrature nodes PER DATA POINT (limit "
+                    f"{self.MAX_GRID_NODES:g}).  Pass mc_samples>0 (e.g. "
+                    f"Categorical(K={self.K}, mc_samples=64)) to use O(K)-"
+                    f"cost quasi-MC expectations instead of the grid.")
+
     @property
     def dim_f(self):  # type: ignore[override]
         return self.K - 1

@@ -389,13 +389,18 @@ def elbo_fn(params: SVMOGPParams, data: Tuple[TaskData, ...],
     # (one Kfu build, one triangular matmul, one quad_diag — so the VE
     # backward materializes ONE (Q, M, M) Lq-cotangent instead of T of
     # them), then slices per task for the mixing + likelihood quadrature.
-    if config.fuse_task_rows:
+    # The fused path is therefore gated on the cached inverse being present:
+    # without iLuu the projection is a triangular SOLVE, where the fused
+    # blocking is the measured regression above (iLuu is None at trace time,
+    # so this is a static choice).
+    fuse_rows = config.fuse_task_rows and iLuu is not None
+    if fuse_rows:
         moments = fused_task_moments(params, config, Luu, data, iLuu=iLuu,
                                      cache_grad=cache_grad)
     ve_sums = []
     for t, lik in enumerate(config.likelihoods):
         X_t, Y_t, mask_t = data[t]
-        if config.fuse_task_rows:
+        if fuse_rows:
             m_F, v_F = moments[t]
         else:
             m_F, v_F = task_qf_moments(params, config, Luu, X_t, t,

@@ -200,6 +200,26 @@ def predict_f_projected(params: SVMOGPParams, config: ModelConfig,
     return mu[j], var[j]
 
 
+def predict_f_stochastic(params: SVMOGPParams, config: ModelConfig,
+                         Xanchor_list: Sequence, Xnew,
+                         output_function_ind: int = 0):
+    """Reference ``_raw_predict_stochastic`` (svmogp.py:308-331): named
+    mirror of the minibatch-posterior projection.
+
+    In the reference this method is character-for-character identical to
+    ``_raw_predict_f`` (svmogp.py:255-278) — both re-run full inference and
+    Woodbury-project the posterior at the training inputs; only the
+    trailing comment differs.  The name exists for minibatch-trained
+    models, so the mirror makes the implied semantics usable:
+    ``Xanchor_list`` may be the full training inputs (exact reference
+    behavior, == ``predict_f_projected``) or any subset such as the current
+    minibatch — the projection identity holds for any anchor set, and a
+    B-row anchor cuts the O(N_t^3) re-projection to O(B^3).
+    """
+    return predict_f_projected(params, config, Xanchor_list, Xnew,
+                               output_function_ind)
+
+
 def predict_f_projected_task(params: SVMOGPParams, config: ModelConfig,
                              Xtrain_list: Sequence, Xnew, task: int):
     """Reference ``_raw_predict_f`` semantics for EVERY output function of

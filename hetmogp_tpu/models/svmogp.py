@@ -256,6 +256,18 @@ class SVMOGP:
             output_function_ind)
         return np.asarray(m)[:, None], np.asarray(v)[:, None]
 
+    def predict_f_stochastic(self, Xnew, output_function_ind: int = 0,
+                             Xanchor_list: Optional[Sequence] = None):
+        """Reference ``_raw_predict_stochastic`` (svmogp.py:308-331) named
+        mirror — identical to ``predict_f_projected`` in the reference (see
+        predict.predict_f_stochastic); ``Xanchor_list`` (default: the full
+        training inputs, exact reference behavior) may be a minibatch
+        subset to cut the O(N^3) re-projection to the batch size."""
+        anchors = self.Xmulti_all if Xanchor_list is None else Xanchor_list
+        m, v = predict_mod.predict_f_stochastic(
+            self.params, self.config, anchors, Xnew, output_function_ind)
+        return np.asarray(m)[:, None], np.asarray(v)[:, None]
+
     def predictive(self, Xpred: Sequence, projected: bool = False,
                    mesh=None):
         """Observation-space prediction; ``projected=True`` reproduces the

@@ -523,9 +523,21 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
             # non-finite step ELBO (e.g. a transiently indefinite Kuu at
             # f32 roundoff under an extreme hyper update) discards that
             # step's updates instead of poisoning the state forever.  The
-            # step counter still advances (the VE/VM schedule stays
-            # aligned).  Static flag: no cost when disabled.
-            ok = jnp.isfinite(neg_elbo)
+            # gradient global norm is checked too: a finite ELBO with a
+            # non-finite gradient (e.g. a likelihood-derivative overflow)
+            # would otherwise poison params/opt_state through the update.
+            # The step counter still advances (the VE/VM schedule stays
+            # aligned), but a skipped step keeps the OLD opt_state — adam
+            # moments and any optax schedule's internal count do not tick
+            # on skipped steps (the schedule is driven by accepted-update
+            # count, not state.step).  Static flag: no cost when disabled.
+            ok = jnp.isfinite(neg_elbo) & jnp.isfinite(optax.global_norm(grads))
+            if q_new is not None:
+                # fused-NGD path: the q-update bypasses `grads`, so check
+                # its own finiteness (an indefinite A in natgrad_ve_step
+                # surfaces as NaNs in L_new/m_new)
+                ok = (ok & jnp.isfinite(q_new[0]).all()
+                      & jnp.isfinite(q_new[1]).all())
 
             def _sel(new, old):
                 return jax.lax.select(
@@ -1108,15 +1120,19 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     if Luu is None:
         Luu = elbo_mod.prior_cholesky(params, config)
 
+    # fused rows only with the cached-inverse matmul projection: the fused
+    # concatenated-rows SOLVE is a measured regression (models/elbo.py NOTE)
+    fuse_rows = config.fuse_task_rows and iLuu is not None
+
     def ve_fn(m_, S_):
-        if config.fuse_task_rows:
+        if fuse_rows:
             moments = elbo_mod.fused_task_moments(
                 params, config, Luu, data, iLuu=iLuu, q_moments=(m_, S_),
                 var_floor=1e-12)
         ve_sums = []
         for t, lik in enumerate(config.likelihoods):
             X_t, Y_t, mask_t = data[t]
-            if config.fuse_task_rows:
+            if fuse_rows:
                 m_F, v_F = moments[t]
             else:
                 m_F, v_F = elbo_mod.task_qf_moments(

@@ -271,7 +271,10 @@ def test_fused_task_rows_matches_per_task():
     """config.fuse_task_rows: one concatenated-rows projection must
     reproduce the per-task ELBO exactly and its gradients to
     reduction-order rounding, across all 8 likelihoods, both
-    parameterizations, and with the VE/VM cached fast paths."""
+    parameterizations, and with the VE/VM cached fast paths.  The fused
+    path is gated on the cached inverse (iLuu) being present — on the
+    solve path it would be a measured perf regression (models/elbo.py)
+    — so every comparison here passes iLuu."""
     from hetmogp_tpu.ops import linalg
 
     for whiten in (False, True):
@@ -280,21 +283,30 @@ def test_fused_task_rows_matches_per_task():
                                   fuse_task_rows=False)  # per-task reference
         cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
         s = jnp.asarray(scales)
-        e0, a0 = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfg))(
-            params, data)
-        e1, a1 = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfgF))(
-            params, data)
+        Luu = elbo_mod.prior_cholesky(params, cfg)
+        iLuu = linalg.rec_tri_inverse(Luu)
+        e0, a0 = jax.jit(lambda p, d: elbo_mod.elbo_fn(
+            p, d, s, cfg, Luu=Luu, iLuu=iLuu))(params, data)
+        e1, a1 = jax.jit(lambda p, d: elbo_mod.elbo_fn(
+            p, d, s, cfgF, Luu=Luu, iLuu=iLuu))(params, data)
         np.testing.assert_allclose(float(e1), float(e0), rtol=1e-13)
         np.testing.assert_allclose(np.asarray(a1["ve"]),
                                    np.asarray(a0["ve"]), rtol=1e-13)
-        g0 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(p, data, s,
-                                                         cfg)[0]))(params)
-        g1 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(p, data, s,
-                                                         cfgF)[0]))(params)
+        g0 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(
+            p, data, s, cfg, Luu=Luu, iLuu=iLuu)[0]))(params)
+        g1 = jax.jit(jax.grad(lambda p: elbo_mod.elbo_fn(
+            p, data, s, cfgF, Luu=Luu, iLuu=iLuu)[0]))(params)
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-9, atol=1e-9)
+        # solve path (iLuu=None): fuse_task_rows must be inert — identical
+        # program, identical value (the fused SOLVE is never taken)
+        eS0, _ = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfg))(
+            params, data)
+        eS1, _ = jax.jit(lambda p, d: elbo_mod.elbo_fn(p, d, s, cfgF))(
+            params, data)
+        assert float(eS1) == float(eS0)
     # cached fast paths (VE: iLuu matmuls; VM: cache_grad adjoints)
     cfg, params, data, scales, _ = _mixed_problem(seed=2)
     cfg = dataclasses.replace(cfg, whiten=True, fuse_task_rows=False)

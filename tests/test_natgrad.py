@@ -221,8 +221,18 @@ def test_natgrad_fused_rows_matches_per_task():
     scales = jnp.asarray(scales, cfg.np_dtype)
     cfgP = dataclasses.replace(cfg, fuse_task_rows=False)
     cfgF = dataclasses.replace(cfg, fuse_task_rows=True)
-    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfgP, 0.3)
-    p1, e1, a1 = train_mod.natgrad_ve_step(params, data, scales, cfgF, 0.3)
+    # the fused path is gated on the cached inverse being present, so both
+    # sides get the same (Luu, iLuu) cache (the trainer's fast_projection
+    # state does the same)
+    from hetmogp_tpu.models import elbo as elbo_mod
+    from hetmogp_tpu.ops import linalg
+
+    Luu = elbo_mod.prior_cholesky(params, cfgP)
+    iLuu = linalg.rec_tri_inverse(Luu)
+    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfgP, 0.3,
+                                           Luu=Luu, iLuu=iLuu)
+    p1, e1, a1 = train_mod.natgrad_ve_step(params, data, scales, cfgF, 0.3,
+                                           Luu=Luu, iLuu=iLuu)
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a1["ve"]), np.asarray(a0["ve"]),
                                rtol=1e-12)

@@ -81,6 +81,34 @@ def test_projected_prediction_matches_woodbury_oracle():
                                        err_msg=f"var d={d} whiten={c.whiten}")
 
 
+def test_predict_f_stochastic_minibatch_anchor_matches_oracle():
+    """predict_f_stochastic (reference _raw_predict_stochastic,
+    svmogp.py:308-331 — char-for-char identical to _raw_predict_f there):
+    with the full anchors it equals predict_f_projected; with a MINIBATCH
+    anchor it matches the Woodbury oracle evaluated on that anchor set."""
+    cfg, params, oa = _setup(seed=3)
+    rng = np.random.RandomState(8)
+    Xtrain = [np.linspace(0, 1, 8)[:, None] + 0.01 * rng.randn(8, 1),
+              np.linspace(0, 1, 7)[:, None] + 0.01 * rng.randn(7, 1),
+              np.linspace(0, 1, 8)[:, None] + 0.01 * rng.randn(8, 1)]
+    Xbatch = [x[::2] for x in Xtrain]  # the "current minibatch" anchors
+    Xnew = rng.rand(9, 1)
+    for d in range(cfg.num_output_functions):
+        t = cfg.function_index[d]
+        # full anchors == the projected path (reference: identical methods)
+        m0, v0 = predict_mod.predict_f_projected(params, cfg, Xtrain, Xnew, d)
+        m1, v1 = predict_mod.predict_f_stochastic(params, cfg, Xtrain, Xnew, d)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        # minibatch anchors == oracle on the batch anchor set
+        em, ev = oracle.raw_predict_f(
+            Xbatch[t], Xnew, oa["Z"], oa["W"], oa["kappa"],
+            oa["lengthscales"], oa["variances"], oa["m_u"], oa["L_u"], d)
+        mb, vb = predict_mod.predict_f_stochastic(params, cfg, Xbatch, Xnew, d)
+        np.testing.assert_allclose(np.asarray(mb), em, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(vb), ev, atol=1e-8)
+
+
 def test_observation_space_predictive_matches_oracle():
     """predictive() == oracle qf_moments -> GH law-of-total-variance, per
     likelihood (analytic Gaussian, 2-D-grid HetGaussian, GH Bernoulli)."""

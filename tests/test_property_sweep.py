@@ -72,12 +72,21 @@ def test_random_config_elbo_grads_predictions_finite(seed):
         assert np.isfinite(np.asarray(leaf)).all()
 
     # the fused-rows path (the default) matches the per-task loop across
-    # the whole random config space (DESIGN §7g)
+    # the whole random config space (DESIGN §7g).  It is gated on the
+    # cached inverse being present, so both sides get the same cache.
+    from hetmogp_tpu.ops import linalg
+
+    Luu = elbo_mod.prior_cholesky(params, cfg)
+    iLuu = linalg.rec_tri_inverse(Luu)
+    valF, gradsF = jax.jit(jax.value_and_grad(
+        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfg,
+                                    Luu=Luu, iLuu=iLuu)[0]))(params)
     cfgP = dataclasses.replace(cfg, fuse_task_rows=False)
     valP, gradsP = jax.jit(jax.value_and_grad(
-        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfgP)[0]))(params)
-    np.testing.assert_allclose(float(valP), float(val), rtol=1e-12)
-    for a, b in zip(jax.tree_util.tree_leaves(grads),
+        lambda p: -elbo_mod.elbo_fn(p, data, scales, cfgP,
+                                    Luu=Luu, iLuu=iLuu)[0]))(params)
+    np.testing.assert_allclose(float(valP), float(valF), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(gradsF),
                     jax.tree_util.tree_leaves(gradsP)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-7,
                                    atol=1e-9)

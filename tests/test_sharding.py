@@ -464,6 +464,29 @@ def test_sharded_checkpoint_roundtrip_no_mesh(tmp_path):
         ckpt.save_checkpoint_sharded(path, params, extra={"rng_key": [1]})
 
 
+def test_sharded_checkpoint_overwrite_is_crash_safe(tmp_path):
+    """Fixed-path overwrite goes through a sibling .tmp + swap: after a
+    save, no .tmp/.old leftovers remain and the content is the NEW state;
+    leftover .tmp/.old dirs from a simulated crash are reclaimed by the
+    next save rather than breaking it."""
+    from hetmogp_tpu import checkpoint as ckpt
+
+    cfg, params, _, _ = _problem(n_per=16)
+    path = tmp_path / "orbax_fixed"
+    ckpt.save_checkpoint_sharded(path, params, step=1)
+    bumped = params.replace(q_mu=params.q_mu + 1.0)
+    # simulated crash leftovers around the live checkpoint
+    (tmp_path / "orbax_fixed.tmp").mkdir()
+    (tmp_path / "orbax_fixed.old").mkdir()
+    ckpt.save_checkpoint_sharded(path, bumped, step=2)
+    assert not (tmp_path / "orbax_fixed.tmp").exists()
+    assert not (tmp_path / "orbax_fixed.old").exists()
+    p2, _, step2, _ = ckpt.load_checkpoint_sharded(path, params)
+    assert step2 == 2
+    np.testing.assert_array_equal(np.asarray(p2.q_mu),
+                                  np.asarray(bumped.q_mu))
+
+
 def test_fused_rows_on_2d_mesh_matches_unsharded():
     """config.fuse_task_rows under a 2-D ('data','latent') mesh: the
     concatenation of data-sharded per-task batches stays row-sharded and
@@ -477,14 +500,19 @@ def test_fused_rows_on_2d_mesh_matches_unsharded():
     tc = TrainConfig(optimizer="adam", step_rate=0.01)
     opt = train_mod.make_optimizer(tc)
 
+    # fast-projection states (cached Luu + iLuu): the fused-rows path is
+    # gated on the cached inverse being present, so plain states would
+    # silently compare per-task to per-task
     ref_step = train_mod.make_svi_step(cfgP, tc, vem=True)
-    s1, m1 = ref_step(train_mod.TrainState(params, opt.init(params),
-                                           jnp.asarray(0)), data, scales)
+    s1, m1 = ref_step(train_mod.init_train_state(
+        params, cfgP, opt, cache_luu=True, fast_projection=True),
+        data, scales)
 
     mesh = sharding.model_mesh(jax.devices()[:8], latent=2)
     sstep = sharding.make_sharded_svi_step(cfgF, tc, mesh, vem=True)
     s0 = sharding.shard_state(
-        mesh, train_mod.TrainState(params, opt.init(params), jnp.asarray(0)))
+        mesh, train_mod.init_train_state(params, cfgF, opt, cache_luu=True,
+                                         fast_projection=True))
     s2, m2 = sstep(s0, sharding.shard_batch(mesh, data), scales)
 
     np.testing.assert_allclose(float(m2["elbo"]), float(m1["elbo"]),
