@@ -1,0 +1,301 @@
+"""Matmul FLOP accounting from compiled-HLO text.
+
+XLA's ``cost_analysis()`` reports one aggregate flop count per program
+with two blind spots that made the benchmark's MFU headline
+uninterpretable (round-3 verdict):
+
+* **both ``lax.cond`` branches are counted** although exactly one
+  executes per step (the trainer's VE/VM alternation), over-counting the
+  numerator; and
+* the count is **logical f32 flops**, while the TPU executes an f32
+  matmul as multiple bfloat16 MXU passes (1 at DEFAULT, 3 at HIGH, 6 at
+  HIGHEST precision — the measured pass model behind docs/DESIGN.md §7b),
+  so logical flops against the bf16 peak is neither a logical nor a
+  physical utilization number.
+
+This module parses the **optimized HLO text** of an already-compiled
+program (``jit(f).lower(...).compile().as_text()`` — no extra compile) and
+walks its call graph to produce branch-weighted logical and pass-weighted
+physical matmul flops:
+
+* every ``dot`` instruction contributes ``2 * prod(out_shape) *
+  prod(contracting_dims)`` logical flops, attributed to the computation
+  it lives in (fusion bodies included);
+* ``fusion``/``call``/``while``/custom-call subcomputations are folded
+  into their caller once (a while body is counted once — per-iteration
+  cost, matching ``cost_analysis`` semantics);
+* ``conditional`` instructions weight their branch computations by
+  ``p_true`` (the VE-step fraction) instead of summing both;
+* ``operand_precision={...}`` on each dot selects the bf16 pass
+  multiplier; bf16/f16 operand dots are 1 pass at any precision.
+
+The orientation convention (which HLO branch is ``lax.cond``'s ``True``)
+is covered by tests/test_bench.py against a CPU-compiled cond program.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+# bf16 MXU passes per logical flop for f32-operand dots, by XLA operand
+# precision (TPU v5e measured model, docs/DESIGN.md §7b/§7e): DEFAULT
+# rounds each operand to bf16 (1 pass), HIGH splits both operands
+# (3 passes), HIGHEST adds the low-low term and a second split (6 passes).
+PASSES = {"default": 1, "high": 3, "highest": 6}
+
+# computation header: "%name (params...) -> type {" — params may nest
+# parens (tuple types), so match greedily and anchor on the trailing "{"
+_COMP_RE = re.compile(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*->.*\{\s*$")
+_INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\w+)\[([\d,]*)\]")
+# dot operands are usually bare references (%name); tolerate an inline type
+_DOT_OPS_RE = re.compile(r"\bdot\(\s*(?:\w+\[[\d,]*\][^%]*)?%?([\w.\-]+)")
+_LHS_CONTRACT_RE = re.compile(r"lhs_contracting_dims=\{([\d,]*)\}")
+# TPU canonicalization rewrites batched dots as one-spatial-dim
+# convolutions (batch rides the spatial dim via lhs_dilate/stride tricks;
+# metadata still names the originating dot_general).  The dilation zeros
+# do no real work: logical flops = 2 * prod(out) * rhs input-feature size.
+_CONV_OPS_RE = re.compile(
+    r"\bconvolution\(\s*(?:\w+\[[\d,]*\][^%]*)?%?([\w.\-]+),"
+    r"\s*(?:\w+\[[\d,]*\][^%]*)?%?([\w.\-]+)")
+_DIM_LABELS_RE = re.compile(r"dim_labels=\w+_(\w+)->")
+_PRECISION_RE = re.compile(r"operand_precision=\{(\w+),\s*(\w+)\}")
+_CALL_ATTR_RE = re.compile(
+    r"(?:calls|to_apply|condition)=%?([\w.\-]+)")
+_BODY_ATTR_RE = re.compile(r"\bbody=%?([\w.\-]+)")
+_COLL_RE = re.compile(
+    r"=\s*(\(?[^=]*?)"
+    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(")
+_SHAPE_RE = re.compile(r"\w+\[([\d,]*)\]")
+_TRUE_COMP_RE = re.compile(r"true_computation=%?([\w.\-]+)")
+_FALSE_COMP_RE = re.compile(r"false_computation=%?([\w.\-]+)")
+_BRANCHES_RE = re.compile(r"branch_computations=\{([^}]*)\}")
+
+
+def _prod(dims: str) -> int:
+    out = 1
+    for d in dims.split(","):
+        d = d.strip()
+        if d:
+            out *= int(d)
+    return out
+
+
+class _Computation:
+    __slots__ = ("dots", "calls", "conds", "bodies", "colls")
+
+    def __init__(self):
+        self.dots: List[Tuple[float, int]] = []  # (logical flops, passes)
+        self.calls: List[str] = []
+        # (true_comp, false_comp) per conditional instruction
+        self.conds: List[Tuple[str, str]] = []
+        self.bodies: List[str] = []  # while-loop body computations
+        # (kind, output elements) per collective instruction
+        self.colls: List[Tuple[str, int]] = []
+
+
+def _parse_module(text: str) -> Dict[str, _Computation]:
+    comps: Dict[str, _Computation] = {}
+    current: Optional[_Computation] = None
+    symbols: Dict[str, Tuple[str, str]] = {}  # %name -> (dtype, dims)
+    for line in text.splitlines():
+        m = _COMP_RE.match(line)
+        if m:
+            current = comps.setdefault(m.group(1), _Computation())
+            symbols = {}
+            continue
+        if current is None:
+            continue
+        if line.strip() == "}":
+            current = None
+            continue
+        im = _INSTR_RE.match(line)
+        if im:
+            symbols[im.group(1)] = (im.group(2), im.group(3))
+        if " convolution(" in line and im:
+            om = _CONV_OPS_RE.search(line)
+            dm = _DIM_LABELS_RE.search(line)
+            if om and dm:
+                lhs_dtype, _ = symbols.get(om.group(1), ("f32", ""))
+                _, rhs_dims = symbols.get(om.group(2), ("f32", ""))
+                rhs_spec = dm.group(1)
+                if rhs_dims and "i" in rhs_spec:
+                    rhs_shape = [int(d) for d in rhs_dims.split(",") if d]
+                    contract = rhs_shape[rhs_spec.index("i")]
+                    flops = 2.0 * _prod(im.group(3)) * contract
+                    pm = _PRECISION_RE.search(line)
+                    prec = pm.group(1).lower() if pm else "default"
+                    passes = (1 if lhs_dtype in ("bf16", "f16", "s8", "u8")
+                              else PASSES.get(prec, 1))
+                    current.dots.append((flops, passes))
+            continue
+        if " dot(" in line and im:
+            out_dtype, out_dims = im.group(2), im.group(3)
+            om = _DOT_OPS_RE.search(line)
+            lhs_dtype, lhs_dims = symbols.get(om.group(1), ("f32", "")) \
+                if om else ("f32", "")
+            cm = _LHS_CONTRACT_RE.search(line)
+            contract = 1
+            if cm and cm.group(1) and lhs_dims:
+                lhs_shape = [int(d) for d in lhs_dims.split(",") if d]
+                for i in cm.group(1).split(","):
+                    contract *= lhs_shape[int(i)]
+            flops = 2.0 * _prod(out_dims) * contract
+            pm = _PRECISION_RE.search(line)
+            prec = pm.group(1).lower() if pm else "default"
+            # sub-f32 operand dots are single-pass at any precision
+            passes = (1 if lhs_dtype in ("bf16", "f16", "s8", "u8")
+                      else PASSES.get(prec, 1))
+            current.dots.append((flops, passes))
+        # conditional branches: weighted, not summed
+        tm = _TRUE_COMP_RE.search(line)
+        fm = _FALSE_COMP_RE.search(line)
+        if tm and fm:
+            current.conds.append((tm.group(1), fm.group(1)))
+            continue
+        bm = _BRANCHES_RE.search(line)
+        if bm:
+            names = [n.strip().lstrip("%")
+                     for n in bm.group(1).split(",") if n.strip()]
+            if len(names) == 2:
+                # lax.cond lowers pred to a {0, 1} branch index with
+                # index 1 == True (validated by tests/test_bench.py)
+                current.conds.append((names[1], names[0]))
+            else:
+                # lax.switch: no true/false semantics — average uniformly
+                # by chaining pairwise (rare; not used by the trainer)
+                current.calls.extend(names)
+            continue
+        for cm in _CALL_ATTR_RE.finditer(line):
+            current.calls.append(cm.group(1))
+        bm2 = _BODY_ATTR_RE.search(line)
+        if bm2:
+            current.bodies.append(bm2.group(1))
+        km = _COLL_RE.search(line)
+        if km:
+            # tuple-typed collectives (multi-operand all-reduce, async
+            # -start forms): record the LARGEST element of the tuple
+            elems = max((_prod(s) for s in
+                         _SHAPE_RE.findall(km.group(1))), default=1)
+            current.colls.append((km.group(2), elems))
+    return comps
+
+
+def scan_body_collectives(text: str) -> List[Tuple[str, int]]:
+    """Collectives executed PER STEP: every (kind, output elements) inside
+    a while-loop body (the scan trainer's step), fusion/cond/nested-call
+    bodies included.  Collectives outside any while body (one-time dataset
+    distribution, final output gathers) are excluded — they amortize over
+    steps_per_call and do not bound scaling.
+
+    The communication-structure regression test (tests/test_sharding.py)
+    asserts on this: per-step reductions must stay scalar/batch-sized and
+    nothing may all-gather (Q, M, M)-sized state on the data axis.
+    """
+    comps = _parse_module(text)
+    bodies = [b for c in comps.values() for b in c.bodies]
+    seen: set = set()
+    out: List[Tuple[str, int]] = []
+
+    def walk(name: str):
+        if name in seen or name not in comps:
+            return
+        seen.add(name)
+        c = comps[name]
+        out.extend(c.colls)
+        for x in c.calls + c.bodies:
+            walk(x)
+        for t_comp, f_comp in c.conds:
+            walk(t_comp)
+            walk(f_comp)
+
+    for b in bodies:
+        walk(b)
+    return out
+
+
+def _entry_name(text: str) -> Optional[str]:
+    for line in text.splitlines():
+        if line.lstrip().startswith("ENTRY"):
+            m = _COMP_RE.match(line)
+            if m:
+                return m.group(1)
+    return None
+
+
+def matmul_flops(text: str, p_true: Optional[float] = None,
+                 branch_max: bool = False) -> dict:
+    """Walk a compiled-HLO module's call graph and total its dot flops.
+
+    Args:
+      text: ``compiled.as_text()`` of an XLA executable.
+      p_true: probability weight of each ``conditional``'s True branch
+        (e.g. 0.8 for the trainer's 4:1 VE:VM alternation).  None sums
+        both branches.
+      branch_max: count each conditional as its LARGER branch by logical
+        flops — mirrors XLA ``cost_analysis`` semantics on TPU (measured:
+        a cond with dots in both branches reports only the bigger one), so
+        ``cost_analysis_flops - matmul_flops(txt, branch_max=True)
+        ['logical']`` isolates the program's non-matmul flop remainder.
+        Mutually exclusive with ``p_true``.
+
+    Returns a dict:
+      ``logical``: branch-weighted logical matmul flops,
+      ``physical``: the same weighted by bf16 MXU passes per dot,
+      ``by_passes``: {pass multiplier: logical flops} breakdown,
+      ``n_dots``: number of dot instructions seen (0 => parse found none
+        and the caller should fall back to cost_analysis).
+    """
+    comps = _parse_module(text)
+    entry = _entry_name(text)
+    if entry is None or entry not in comps:
+        return {"logical": 0.0, "physical": 0.0, "by_passes": {}, "n_dots": 0}
+
+    memo: Dict[str, Tuple[float, float, Dict[int, float], int]] = {}
+
+    def walk(name: str, stack=()):  # (logical, physical, by_passes, n)
+        if name in memo:
+            return memo[name]
+        if name not in comps or name in stack:
+            return (0.0, 0.0, {}, 0)
+        c = comps[name]
+        lg = ph = 0.0
+        byp: Dict[int, float] = {}
+        n = 0
+        for flops, passes in c.dots:
+            lg += flops
+            ph += flops * passes
+            byp[passes] = byp.get(passes, 0.0) + flops
+            n += 1
+        stack = stack + (name,)
+        for callee in c.calls + c.bodies:
+            clg, cph, cbyp, cn = walk(callee, stack)
+            lg += clg
+            ph += cph
+            n += cn
+            for k, v in cbyp.items():
+                byp[k] = byp.get(k, 0.0) + v
+        for t_comp, f_comp in c.conds:
+            tlg, tph, tbyp, tn = walk(t_comp, stack)
+            flg, fph, fbyp, fn = walk(f_comp, stack)
+            if branch_max:
+                wt, wf = (1.0, 0.0) if tlg >= flg else (0.0, 1.0)
+            elif p_true is None:
+                wt, wf = 1.0, 1.0
+            else:
+                wt, wf = p_true, 1.0 - p_true
+            lg += wt * tlg + wf * flg
+            ph += wt * tph + wf * fph
+            n += tn + fn
+            for k, v in tbyp.items():
+                byp[k] = byp.get(k, 0.0) + wt * v
+            for k, v in fbyp.items():
+                byp[k] = byp.get(k, 0.0) + wf * v
+        memo[name] = (lg, ph, byp, n)
+        return memo[name]
+
+    lg, ph, byp, n = walk(entry)
+    return {"logical": lg, "physical": ph,
+            "by_passes": {int(k): float(v) for k, v in sorted(byp.items())},
+            "n_dots": n}

@@ -521,3 +521,61 @@ def test_fused_rows_on_2d_mesh_matches_unsharded():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
     assert not s2.params.q_sqrt.sharding.is_fully_replicated
+
+
+def test_scan_body_collective_structure():
+    """Communication-structure regression (round-3 verdict weak #5): the
+    sharded scan step's PER-STEP collectives must stay scalar/batch-sized.
+    A refactor that silently all-gathers the (Q, M, M) variational state
+    (or Luu/iLuu caches) on the data axis would pass the value-equality
+    tests — real-pod ICI traffic is invisible on a virtual mesh — so this
+    asserts on the compiled HLO itself via hlo_cost.scan_body_collectives.
+    One-time dataset distribution outside the scan body is exempt (it
+    amortizes over steps_per_call)."""
+    from hetmogp_tpu import hlo_cost
+
+    rng = np.random.RandomState(0)
+    liks = (L.HetGaussian(), L.Bernoulli(), L.Gamma())
+    T, N_per, M, Q, B = 3, 256, 64, 2, 32
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float32", jitter=1e-4,
+                      adaptive_jitter=False)
+    tc = TrainConfig(optimizer="adam", step_rate=0.005, minibatch="slice",
+                     vm_batch_fraction=0.25)
+    X_list = [rng.rand(N_per, 1).astype(np.float32) for _ in range(T)]
+    Y_list = [rng.randn(N_per, 1), (rng.rand(N_per, 1) > .5).astype(float),
+              rng.gamma(2., 1., (N_per, 1)) + 1e-3]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None].astype(np.float32),
+                         lengthscale=0.2, variance=0.5, q_mu_scale=0.1)
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    runner = train_mod.make_scan_trainer(
+        cfg, tc, tuple([N_per] * T), tuple([B] * T), vem=True,
+        steps_per_call=5, mesh=mesh)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt, cache_luu=True,
+                                       fast_projection=True)
+    ds = sharding.shard_batch(mesh, dataset)
+    state = sharding.shard_state(mesh, state)
+    txt = runner.lower(state, ds, jax.random.PRNGKey(1)).compile().as_text()
+
+    body = hlo_cost.scan_body_collectives(txt)
+    assert body, "no collectives found in the scan body — parse failure?"
+    # the data-summed VE/grad reductions must be present as all-reduces —
+    # including the unavoidable (Q, M, M) gradient psum of the replicated
+    # variational state (that reduction IS data parallelism's cost model)
+    assert any(kind == "all-reduce" for kind, _ in body)
+    assert any(kind == "all-reduce" and e >= Q * M * M for kind, e in body)
+    # but nothing (Q, M, M)-sized may be GATHERED per step: batch-row
+    # gathers are B-sized and everything else scalar, so any gather-class
+    # collective at >= M*M elements means replicated state is being
+    # round-tripped on the data axis (M*M = 4096 here vs the largest
+    # legitimate gather of ~B*T elements)
+    limit = M * M
+    gather_kinds = ("all-gather", "all-to-all", "collective-permute")
+    offenders = [(k, e) for k, e in body if k in gather_kinds and e >= limit]
+    assert not offenders, (
+        f"per-step gather-class collectives moving >= M*M={limit} elements: "
+        f"{offenders} — (Q, M, M)-sized state is being gathered on the "
+        "data axis")
