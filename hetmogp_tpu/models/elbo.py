@@ -110,6 +110,27 @@ def prior_cholesky_inverse(params: SVMOGPParams, config: ModelConfig):
     return Luu, linalg.rec_tri_inverse(Luu)
 
 
+def latent_projection_P(params: SVMOGPParams, config: ModelConfig,
+                        Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None):
+    """(P, kdiag) with P = (Luu^{-1} K_uf)^T — the whitened projection
+    operator itself, for callers that contract P directly (the
+    natural-gradient step forms g_S = P^T diag(c) P and never needs the
+    full (m, S) forward).  Same fast/solve paths and precision policy as
+    ``latent_projections`` (see the load-bearing precision NOTE there)."""
+    Kfu = kernels.K_batched(config.kernel, X, params.Z, params.lengthscale,
+                            params.variance)  # (Q, N, M)
+    kdiag = kernels.Kdiag_batched(config.kernel, X, params.variance)
+    if iLuu is not None:
+        prec = (jax.lax.Precision.HIGH
+                if config.ve_fwd_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        P = linalg.matmul_tril_t(Kfu, iLuu, precision=prec)
+    else:
+        R = linalg.solve_tri(Luu, jnp.swapaxes(Kfu, -1, -2))
+        P = jnp.swapaxes(R, -1, -2)  # (Q, N, M)
+    return P, kdiag
+
+
 def latent_projections(params: SVMOGPParams, config: ModelConfig,
                        Luu: jnp.ndarray, X: jnp.ndarray, iLuu=None,
                        q_moments=None, cache_grad: bool = False):

