@@ -219,3 +219,76 @@ def true_f_functions(true_u: Sequence, W: np.ndarray, function_index,
             F[:, int(np.ravel(d_index)[d])] = u_task @ W[:, d]
         out.append(F)
     return out
+
+
+def load_spatial_table(path):
+    """Ingestion hook for real spatial multi-task datasets.
+
+    The reference's headline real-data example (London house prices,
+    reference README.md:54-57) ships no dataset; this loader is the drop-in
+    point for it — or any per-task tabular workload — the moment a file
+    exists.  Two schemas:
+
+    * **CSV** with a header row: input columns ``x1..x<Dx>`` (any count,
+      detected from the header), a ``task`` column (0-based task index),
+      and a ``y`` column.  One observation per row, e.g.::
+
+          x1,x2,task,y
+          0.12,0.84,0,12.37     # task 0: e.g. log-price (HetGaussian)
+          0.55,0.31,1,2         # task 1: e.g. property type (Categorical)
+
+    * **NPZ** with per-task arrays ``X0``, ``Y0``, ``X1``, ``Y1``, ... —
+      ``X<t>`` is (N_t, Dx) and ``Y<t>`` is (N_t,) or (N_t, dim_y)
+      (multi-column observations, e.g. Dirichlet proportions, need NPZ).
+
+    Returns ``(X_list, Y_list)`` ordered by task index, each Y shaped
+    (N_t, dim_y).  Tasks may have different sizes (ragged).
+    """
+    from pathlib import Path
+
+    p = Path(path)
+    if p.suffix.lower() == ".npz":
+        with np.load(p, allow_pickle=False) as z:
+            tasks = sorted(int(k[1:]) for k in z.files if k.startswith("X")
+                           and k[1:].isdigit())
+            if not tasks or tasks != list(range(len(tasks))):
+                raise ValueError(
+                    f"{p}: NPZ schema needs contiguous X0/Y0, X1/Y1, ... "
+                    f"keys; found {sorted(z.files)}")
+            X_list, Y_list = [], []
+            for t in tasks:
+                if f"Y{t}" not in z.files:
+                    raise ValueError(f"{p}: X{t} present but Y{t} missing")
+                X = np.asarray(z[f"X{t}"], dtype=np.float64)
+                Y = np.asarray(z[f"Y{t}"], dtype=np.float64)
+                if Y.ndim == 1:
+                    Y = Y[:, None]
+                if X.ndim != 2 or X.shape[0] != Y.shape[0]:
+                    raise ValueError(
+                        f"{p}: X{t} {X.shape} / Y{t} {Y.shape} row mismatch")
+                X_list.append(X)
+                Y_list.append(Y)
+            return X_list, Y_list
+
+    # CSV schema
+    tab = np.genfromtxt(p, delimiter=",", names=True, dtype=np.float64)
+    names = list(tab.dtype.names or ())
+    x_cols = sorted((n for n in names if n.startswith("x")
+                     and n[1:].isdigit()), key=lambda n: int(n[1:]))
+    if not x_cols or "task" not in names or "y" not in names:
+        raise ValueError(
+            f"{p}: CSV schema needs header columns x1..x<Dx>, task, y; "
+            f"got {names}")
+    X = np.stack([np.atleast_1d(tab[c]) for c in x_cols], axis=1)
+    task = np.atleast_1d(tab["task"]).astype(int)
+    y = np.atleast_1d(tab["y"])
+    n_tasks = int(task.max()) + 1
+    X_list, Y_list = [], []
+    for t in range(n_tasks):
+        sel = task == t
+        if not np.any(sel):
+            raise ValueError(f"{p}: no rows for task {t} (tasks must be "
+                             "contiguous 0-based indices)")
+        X_list.append(X[sel])
+        Y_list.append(y[sel][:, None])
+    return X_list, Y_list

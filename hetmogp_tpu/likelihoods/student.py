@@ -15,6 +15,7 @@ from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
 
@@ -23,9 +24,24 @@ from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
 class StudentT(Likelihood):
     dim_f: ClassVar[int] = 2
     df: float = 4.0
+    # trainable degrees of freedom (beyond the reference, which ships only
+    # a stub): theta = [log df] through the theta machinery
+    # (params.lik_theta + TrainConfig.learn_lik_params).  Default False
+    # keeps df a fixed constant.
+    learn_df: bool = False
 
-    def logpdf(self, f, y):
-        v = self.df
+    @property
+    def n_theta(self):  # type: ignore[override]
+        return 1 if self.learn_df else 0
+
+    def default_theta(self, dtype=np.float64):
+        return np.array([np.log(self.df)], dtype)
+
+    def with_theta(self, theta) -> "StudentT":
+        return dataclasses.replace(
+            self, df=float(np.exp(np.asarray(theta)[0])))
+
+    def _logpdf_df(self, f, y, v):
         g = jax.scipy.special.gammaln
         # clip like the reference's scale-family likelihoods (e.g.
         # exponential.py:29-31): exp underflow to a zero scale would make
@@ -39,6 +55,13 @@ class StudentT(Likelihood):
         return (g((v + 1.0) / 2.0) - g(v / 2.0)
                 - 0.5 * jnp.log(v * jnp.pi) - jnp.log(scale)
                 - (v + 1.0) / 2.0 * jnp.log1p(jnp.square(r) / v))
+
+    def logpdf(self, f, y):
+        return self._logpdf_df(f, y, self.df)
+
+    def logpdf_t(self, f, y, theta):
+        # v = e^theta keeps df positive under unconstrained gradient steps
+        return self._logpdf_df(f, y, jnp.exp(theta[0]))
 
     def conditional_moments(self, f):
         v = self.df

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 
 from hetmogp_tpu.data import (MinibatchStream, batch_scales, full_batch,
@@ -123,3 +124,70 @@ def test_minibatch_stream_1d_y():
     # matches the full_batch contract on the same inputs
     (fb,), _ = full_batch([X], [y])
     assert np.asarray(fb.Y).shape == (20, 1)
+
+
+def test_load_spatial_table_csv_sample():
+    """The checked-in sample exercises the real-data ingestion hook
+    (examples/spatial.py --data): CSV schema x1,x2,task,y -> ragged
+    per-task (X, Y) lists."""
+    from pathlib import Path
+
+    from hetmogp_tpu.data import load_spatial_table
+
+    sample = (Path(__file__).resolve().parents[1] / "examples" / "data"
+              / "spatial_sample.csv")
+    X_list, Y_list = load_spatial_table(sample)
+    assert len(X_list) == 2
+    assert X_list[0].shape == (24, 2) and Y_list[0].shape == (24, 1)
+    assert X_list[1].shape == (16, 2) and Y_list[1].shape == (16, 1)
+    # task 0: real-valued; task 1: integer class labels in 1..3
+    assert Y_list[0].std() > 0.1
+    labels = np.unique(Y_list[1])
+    assert set(labels).issubset({1.0, 2.0, 3.0})
+    # and the loaded data trains: one SVI step on the real schema
+    import jax
+
+    from hetmogp_tpu import (Categorical, HetGaussian, ModelConfig,
+                             TrainConfig)
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.models.params import init_params
+
+    cfg = ModelConfig(likelihoods=(HetGaussian(), Categorical(K=3)),
+                      num_latent=2, num_inducing=6, input_dim=2,
+                      dtype="float64")
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.random.RandomState(0).rand(6, 2),
+                         lengthscale=0.3)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    tc = TrainConfig(optimizer="adam", step_rate=0.01)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt)
+    state, m = step(state, data, jnp.asarray(scales, cfg.np_dtype))
+    assert np.isfinite(float(m["elbo"]))
+
+
+def test_load_spatial_table_npz_and_errors(tmp_path):
+    from hetmogp_tpu.data import load_spatial_table
+
+    rng = np.random.RandomState(1)
+    X0, Y0 = rng.rand(9, 3), rng.randn(9)
+    X1, Y1 = rng.rand(5, 3), rng.rand(5, 2)  # multi-column Y
+    p = tmp_path / "d.npz"
+    np.savez(p, X0=X0, Y0=Y0, X1=X1, Y1=Y1)
+    X_list, Y_list = load_spatial_table(p)
+    np.testing.assert_allclose(X_list[0], X0)
+    assert Y_list[0].shape == (9, 1)  # 1-D Y gets a column axis
+    np.testing.assert_allclose(Y_list[1], Y1)
+
+    import pytest
+
+    np.savez(tmp_path / "bad1.npz", X0=X0, Y0=Y0, X2=X1, Y2=Y1)  # gap
+    with pytest.raises(ValueError, match="contiguous"):
+        load_spatial_table(tmp_path / "bad1.npz")
+    np.savez(tmp_path / "bad2.npz", X0=X0)
+    with pytest.raises(ValueError, match="Y0 missing"):
+        load_spatial_table(tmp_path / "bad2.npz")
+    (tmp_path / "bad.csv").write_text("a,b,c\n1,2,3\n")
+    with pytest.raises(ValueError, match="schema"):
+        load_spatial_table(tmp_path / "bad.csv")
