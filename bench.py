@@ -399,6 +399,76 @@ def run_serve(metric, N_total=1_000_000, M=1024, Q=4, chunk=65536):
                  f"{total_rows} rows/pass"),
     }
 
+def run_serve_mesh(n_devices: int = 8, Ns: int = 8192, M: int = 256,
+                   Q: int = 4):
+    """Serving scaling evidence on a virtual CPU mesh (``--serve-mesh``).
+
+    Virtual devices share one host's cores, so wall-clock speedup is NOT
+    the signal; what this records is the property that produces
+    near-linear real-chip scaling: XLA cost_analysis of an SPMD
+    executable reports PER-DEVICE flops, so the 8-device sharded
+    predictive must cost ~1/8 per device of the 1-device program, with
+    values equal and per-call times bounded.  (The compiled-HLO guard —
+    no row-sized gathers — lives in tests/test_sharding.py.)
+    """
+    from hetmogp_tpu.parallel.sharding import force_virtual_cpu
+
+    force_virtual_cpu(n_devices)
+
+    import jax
+
+    from hetmogp_tpu import Bernoulli, HetGaussian, ModelConfig
+    from hetmogp_tpu.models.params import init_params
+    from hetmogp_tpu.parallel import sharding as _sh
+
+    rng = np.random.RandomState(0)
+    # jitter 1e-4 (the bench floor): 1e-5 NaNs the f32 factorization at
+    # this M/lengthscale (cond(Kuu) too high) on CPU and TPU alike
+    cfg = ModelConfig(likelihoods=(HetGaussian(), Bernoulli()), num_latent=Q,
+                      num_inducing=M, input_dim=2, dtype="float32",
+                      jitter=1e-4, adaptive_jitter=False)
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         rng.rand(M, 2).astype(np.float32), lengthscale=0.3,
+                         variance=0.5, q_mu_scale=0.1)
+    X = np.asarray(rng.rand(Ns, 2), np.float32)
+
+    def flops_of(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+
+    out = {"metric": f"serve_mesh_per_device_flops_ratio_{n_devices}dev",
+           "unit": "x (1dev flops / per-device flops at 8dev; virtual-CPU "
+                   "evidence of compute splitting, not a wall-time speedup)",
+           "vs_baseline": None}
+    vals = {}
+    for nd in (1, n_devices):
+        mesh = _sh.data_mesh(jax.devices("cpu")[:nd])
+        f = _sh.make_sharded_predictive_task(cfg, mesh, 0)
+        import jax.numpy as jnp
+
+        Xd = jnp.asarray(X)
+        compiled = f.lower(params, Xd).compile()
+        m, v = f(params, Xd)  # noqa: F841 - warm + value fetch
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        m, v = f(params, Xd)
+        jax.block_until_ready(v)
+        vals[nd] = {"flops_per_device": flops_of(compiled),
+                    "rows_per_sec": round(Ns / (time.perf_counter() - t0)),
+                    "mean0": float(np.asarray(m)[0, 0])}
+    ratio = vals[1]["flops_per_device"] / max(vals[n_devices]
+                                              ["flops_per_device"], 1.0)
+    out["value"] = round(ratio, 2)
+    out["per_device"] = {str(k): {kk: vv for kk, vv in d.items()
+                                  if kk != "mean0"}
+                         for k, d in vals.items()}
+    out["values_match"] = bool(abs(vals[1]["mean0"]
+                                   - vals[n_devices]["mean0"]) < 1e-5)
+    return out
+
+
 def worker(argv):
     if "--inject-fail" in argv:
         # chaos-test hook: simulate the transient backend failure class
@@ -410,13 +480,16 @@ def worker(argv):
     if "--mesh" in argv:
         main_mesh()
         return
+    if "--serve-mesh" in argv:
+        print(json.dumps(run_serve_mesh()))
+        return
     if "--serve" in argv:
         print(json.dumps(run_serve("serve_rows_per_sec_M1024_Q4_6lik")))
         return
     if "--sweep-m" in argv:
         # M-scaling sweep (VERDICT r2 #6): quick-sized call counts, one
         # JSON line per point under per-M metric names
-        for M in (512, 1024, 2048):
+        for M in (512, 1024, 2048, 4096):
             # M>=1024: VE-forward projections dominate the step; HIGH
             # precision is the measured adoption for both regimes —
             # M=2048: +18% with trajectory parity (DESIGN.md §7d);
@@ -426,8 +499,10 @@ def worker(argv):
             # steps_per_call large enough that fixed per-call dispatch
             # overhead (measured ~26 ms per call at this session's tunnel
             # RTT, constant in the step count) stays <2% of a call:
-            # 50-step calls were measured ~15% under the long-run rate
-            spc = 250 if M >= 2048 else 1000
+            # 50-step calls were measured ~15% under the long-run rate.
+            # M=4096 steps are tens of ms, so 50-step calls suffice there
+            # (and keep the sweep's wall time bounded).
+            spc = 50 if M >= 4096 else (250 if M >= 2048 else 1000)
             res = run_workload(f"svi_steps_per_sec_sweep_M{M}",
                                N_per=1_000_000 // 6, M=M, Q=4, B=512,
                                steps_per_call=spc, calls=3,
@@ -491,6 +566,8 @@ def supervise(argv) -> int:
                           + (tail[-1][-300:] if tail else "<no stderr>"))
     if "--mesh" in argv:
         metric = "mesh_scaling_overhead_virtual_cpu"
+    elif "--serve-mesh" in argv:
+        metric = "serve_mesh_per_device_flops_ratio_8dev"
     elif "--serve" in argv:
         metric = "serve_rows_per_sec_M1024_Q4_6lik"
     elif "--sweep-m" in argv:

@@ -190,11 +190,22 @@ def make_sharded_predictive_task(config: ModelConfig, mesh: Mesh, task: int):
     The serving-scale path (reference ``predictive``, svmogp.py:333-351,
     computed via the direct inducing-point moments): prediction rows shard
     over the 'data' axis, so each chip builds only its rows' Kfu /
-    projection / likelihood-quadrature chain — zero collectives on a 1-D
-    mesh (the computation is row-independent).  On a 2-D ('data','latent')
-    mesh the params keep the caller's latent placement (use
-    ``param_shardings``/``shard_state``) and the q-mixing contractions in
-    ``task_qf_moments`` become ICI psums, emitted by jit partitioning.
+    projection / likelihood-quadrature chain — zero row-sized collectives
+    on a 1-D mesh (the computation is row-independent).  On a 2-D
+    ('data','latent') mesh the params keep the caller's latent placement
+    (use ``param_shardings``/``shard_state``) and the q-mixing contractions
+    in ``task_qf_moments`` become ICI psums, emitted by jit partitioning.
+
+    The projection runs through the explicit triangular inverse (the
+    single-chip serving fast path, ``predict.make_serving_predictive``):
+    XLA's SPMD partitioner cannot split a ``triangular_solve`` on its RHS
+    columns and would ALL-GATHER every prediction row to every device
+    (measured: an (Q, M, N_total) gather in the compiled program —
+    tests/test_sharding.py::test_sharded_predictive_splits_compute_eight_
+    ways would catch a regression), while the cached-inverse matmul
+    partitions cleanly on rows.  The replicated O(M^3) factorization+
+    inverse per call is the same cost the solve path paid for its
+    factorization.
 
     Returns a jitted ``(params, X) -> (m_pred, v_pred)`` with row-sharded
     outputs.  X's row count must be divisible by the data-axis size —
@@ -208,8 +219,9 @@ def make_sharded_predictive_task(config: ModelConfig, mesh: Mesh, task: int):
     params_sh = None if has_latent_axis(mesh) else rep
 
     def f(params, X):
-        Luu = elbo_mod.prior_cholesky(params, config)
-        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X, task)
+        Luu, iLuu = elbo_mod.prior_cholesky_inverse(params, config)
+        m_F, v_F = elbo_mod.task_qf_moments(params, config, Luu, X, task,
+                                            iLuu=iLuu)
         return lik.predictive(m_F, v_F)
 
     return jax.jit(f, in_shardings=(params_sh, rows),

@@ -579,3 +579,48 @@ def test_scan_body_collective_structure():
         f"per-step gather-class collectives moving >= M*M={limit} elements: "
         f"{offenders} — (Q, M, M)-sized state is being gathered on the "
         "data axis")
+
+
+def test_sharded_predictive_splits_compute_eight_ways():
+    """Serving-scaling evidence on the virtual mesh (round-3 verdict #9):
+    real-chip speedup cannot be measured on virtual CPU devices (they
+    share one host's cores), but the property that PRODUCES near-linear
+    scaling can — XLA cost_analysis of an SPMD executable reports
+    PER-DEVICE flops, so the 8-device sharded predictive must cost ~1/8
+    of the single-device program per device, with no row-sized
+    collectives (the computation is row-independent on a 1-D mesh)."""
+    from hetmogp_tpu import hlo_cost
+
+    cfg, params, _, _ = _problem(M=16, Q=2)
+    Ns = 1024
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.rand(Ns, 1), cfg.np_dtype)
+
+    def flops_of(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+
+    mesh1 = sharding.data_mesh(jax.devices()[:1])
+    mesh8 = sharding.data_mesh(jax.devices()[:8])
+    f1 = sharding.make_sharded_predictive_task(cfg, mesh1, 0)
+    f8 = sharding.make_sharded_predictive_task(cfg, mesh8, 0)
+    c1 = f1.lower(params, X).compile()
+    c8 = f8.lower(params, X).compile()
+    fl1, fl8 = flops_of(c1), flops_of(c8)
+    assert fl1 > 0 and fl8 > 0
+    # per-device compute splits ~8x (some per-device fixed work remains:
+    # the (Q, M, M) prior Cholesky is replicated)
+    assert fl8 < fl1 / 8 * 1.6, (fl1, fl8)
+    # no gather-class collectives moving row-sized operands: serving rows
+    # never leave their device
+    comps = hlo_cost._parse_module(c8.as_text())
+    colls = [c for comp in comps.values() for c in comp.colls]
+    big = [(k, e) for k, e in colls if e >= Ns // 8]
+    assert not big, f"row-sized collectives in the sharded predictive: {big}"
+    # and the values match the unsharded path
+    m8, v8 = f8(params, X)
+    m1, v1 = f1(params, X)
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), rtol=1e-10)
