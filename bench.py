@@ -275,6 +275,8 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
         # measured-configuration disclosure (round-3 advisor): the flagship
         # runs the documented tuned settings, not the ModelConfig defaults
         "ve_fwd_precision": ve_fwd_precision,
+        "vm_fwd_precision": os.environ.get("HETMOGP_VM_FWD_PRECISION",
+                                           "highest") or "highest",
         "steps_per_call": steps_per_call,
     }
     if flops is not None:
@@ -473,6 +475,11 @@ def worker(argv):
     if "--inject-fail" in argv:
         # chaos-test hook: simulate the transient backend failure class
         raise RuntimeError("injected failure (bench chaos test)")
+    # VM-forward solve at HIGH (3-pass): measured +3.6% (r3, DESIGN §7d)
+    # / +0.9% (r4 session) with 1500-step trajectory parity; read by
+    # hetmogp_tpu.ops.linalg at import, so set before any import.  An
+    # explicit env value (incl. "") wins over this default.
+    os.environ.setdefault("HETMOGP_VM_FWD_PRECISION", "high")
     if os.environ.get("HETMOGP_BENCH_TINY", "") not in ("", "0"):
         # the chaos test runs on the CI host — force CPU before backend init
         from hetmogp_tpu.parallel.sharding import force_virtual_cpu

@@ -35,6 +35,17 @@ from hetmogp_tpu.config import ModelConfig
 from hetmogp_tpu.models.params import SVMOGPParams
 from hetmogp_tpu.ops import kernels, linalg
 
+import os as _os
+
+# MEASURED NEGATIVE (round 4, v5e, bench shapes): the structure-aware
+# custom-VJP quad_diag backward (linalg.quad_diag_train — tril-output
+# blocked gL at half the flops) is ~2% SLOWER end-to-end than the dense
+# JVP-transpose backward (fused pure-VE 775.5 vs 790.3 steps/s, 4:1 mix
+# 660/667 vs 676; repeated) — the one big dense 1-pass matmul at ~0.7 MFU
+# beats four block einsums + zero-pads + concats.  Default OFF;
+# HETMOGP_QUAD_VJP=1 re-enables for re-measurement on future hardware.
+_QUAD_VJP = _os.environ.get("HETMOGP_QUAD_VJP", "0") == "1"
+
 class TaskData(NamedTuple):
     """One task's (mini)batch. mask weights each datapoint's VE term (1/0);
     padding rows carry mask 0 so ragged tasks shard cleanly across devices."""
@@ -164,8 +175,17 @@ def latent_projections(params: SVMOGPParams, config: ModelConfig,
         Lq = None
 
     def _var_term(B):
-        """diag(B S B^T) from either the factor or the full covariance."""
+        """diag(B S B^T) from either the factor or the full covariance.
+
+        Fast path (iLuu present = the training projections): the
+        custom-VJP quad_diag_train, whose backward computes the L- and
+        B-cotangents as structure-aware half-flop matmuls (reverse-mode
+        only — the solve/prediction paths keep the JVP form so forward
+        differentiation stays available there).  Identical values.
+        """
         if S is None:
+            if iLuu is not None and _QUAD_VJP:
+                return linalg.quad_diag_train(B, Lq)
             return linalg.quad_diag(B, Lq)
         return jnp.einsum("qnm,qmk,qnk->qn", B, S, B)
 

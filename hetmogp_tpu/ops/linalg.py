@@ -199,6 +199,15 @@ _VM_FWD = (jax.lax.Precision.HIGH
            if _os.environ.get("HETMOGP_VM_FWD_PRECISION", "").lower() == "high"
            else _HI)
 
+# Factorization-internal matmul precision (blocked Cholesky panels/inverse
+# assembly, rec_tri_inverse corners).  HIGHEST by default: Luu/iLuu feed
+# EVERY projection for the next VEM cycle, so their error multiplies into
+# P's.  HETMOGP_CHOL_PRECISION=high is the measurement knob for the
+# refresh-cost frontier (docs/DESIGN.md precision experiments).
+_CHOL = (jax.lax.Precision.HIGH
+         if _os.environ.get("HETMOGP_CHOL_PRECISION", "").lower() == "high"
+         else _HI)
+
 
 @jax.custom_vjp
 def chol_cached(K: jnp.ndarray, L: jnp.ndarray, iL: jnp.ndarray) -> jnp.ndarray:
@@ -383,13 +392,13 @@ def _blocked_cholesky_panels(A: jnp.ndarray, nb: int):
         Aj = A[r0:, r0:r0 + nb]
         if Lleft is not None:
             acc = Aj - jnp.matmul(Lleft[r0:, :], Lleft[r0:r0 + nb, :].T,
-                                  precision=_HI)
+                                  precision=_CHOL)
         else:
             acc = Aj
         Lkk = jnp.linalg.cholesky(acc[:nb])
         iLkk = jax.scipy.linalg.solve_triangular(
             Lkk, jnp.eye(nb, dtype=dt), lower=True)
-        below = jnp.matmul(acc[nb:], iLkk.T, precision=_HI)
+        below = jnp.matmul(acc[nb:], iLkk.T, precision=_CHOL)
         colj = jnp.concatenate(
             [jnp.zeros((r0, nb), dt), Lkk, below], axis=0)
         cols.append(colj)
@@ -417,8 +426,8 @@ def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
     for i in range(1, A.shape[-1] // nb):
         r0 = i * nb
         strip = -jnp.matmul(
-            iLkks[i], jnp.matmul(L[r0:r0 + nb, :r0], iL_top, precision=_HI),
-            precision=_HI)  # (nb, r0)
+            iLkks[i], jnp.matmul(L[r0:r0 + nb, :r0], iL_top, precision=_CHOL),
+            precision=_CHOL)  # (nb, r0)
         top = jnp.concatenate(
             [iL_top, jnp.zeros((r0, nb), dt)], axis=1)
         bot = jnp.concatenate([strip, iLkks[i]], axis=1)
@@ -572,7 +581,67 @@ def rec_tri_inverse(L: jnp.ndarray, leaf: int = 128) -> jnp.ndarray:
     A, C, B = L[..., :h, :h], L[..., h:, h:], L[..., h:, :h]
     inv = rec_tri_inverse(jnp.stack([A, C], axis=0), leaf=leaf)
     iA, iC = inv[0], inv[1]
-    corner = -jnp.matmul(iC, jnp.matmul(B, iA, precision=_HI), precision=_HI)
+    corner = -jnp.matmul(iC, jnp.matmul(B, iA, precision=_CHOL), precision=_CHOL)
     top = jnp.concatenate([iA, jnp.zeros_like(B).swapaxes(-1, -2)], axis=-1)
     bot = jnp.concatenate([corner, iC], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def t_matmul_tril_out(A: jnp.ndarray, B: jnp.ndarray, precision=None,
+                      nb: int = _TRI_NB) -> jnp.ndarray:
+    """tril(A^T @ B), computing ONLY the lower-triangular blocks.
+
+    A, B: (..., N, M) -> (..., M, M) with out[m1, m2] = sum_n A[n, m1]
+    B[n, m2] for m1 >= m2 and exact zeros above the diagonal.  Halves the
+    flops of the dense product + mask when the consumer is a triangular
+    cotangent (quad_diag_train's L-gradient).
+    """
+    m = A.shape[-1]
+    if m % nb or m <= nb:
+        return jnp.tril(jnp.einsum("...nm,...nk->...mk", A, B,
+                                   precision=precision))
+    cols = []
+    for j in range(m // nb):
+        lo = j * nb
+        blk = jnp.einsum("...nm,...nk->...mk", A[..., lo:],
+                         B[..., lo:lo + nb], precision=precision)
+        pad = jnp.zeros(blk.shape[:-2] + (lo, nb), blk.dtype)
+        cols.append(jnp.concatenate([pad, blk], axis=-2))
+    return jnp.tril(jnp.concatenate(cols, axis=-1))
+
+
+@jax.custom_vjp
+def quad_diag_train(A: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    """quad_diag with a structure-aware REVERSE-mode gradient.
+
+    Same values as ``quad_diag`` (identical forward ops).  The difference
+    is the backward: transposing quad_diag's custom JVP emits the
+    L-cotangent as a DENSE (..., M, N) @ (..., N, M) matmul masked after
+    (and the A-cotangent as a dense transpose chain), while this custom
+    VJP computes gL = tril(A^T dAL) via ``t_matmul_tril_out`` and
+    gA = dAL @ L^T via ``matmul_tril_t`` — both skip the structurally-zero
+    half.  Reverse-mode ONLY (custom_vjp).
+
+    MEASURED NEGATIVE on TPU v5e at bench shapes (round 4): ~2% SLOWER
+    end-to-end than the dense backward despite half the flops — one big
+    dense 1-pass matmul at ~0.7 physical MFU beats four block einsums +
+    zero-pads + concats (see models/elbo.py _QUAD_VJP).  Kept as the
+    re-measurement hook for hardware where the trade flips.
+    """
+    return jnp.sum(jnp.square(matmul_tril(A, L)), axis=-1)
+
+
+def _quad_diag_train_fwd(A, L):
+    AL = matmul_tril(A, L)
+    return jnp.sum(jnp.square(AL), axis=-1), (A, L, AL)
+
+
+def _quad_diag_train_bwd(res, c):
+    A, L, AL = res
+    dAL = 2.0 * c[..., None] * AL
+    gA = matmul_tril_t(dAL, L)
+    gL = t_matmul_tril_out(A, dAL)
+    return gA, gL
+
+
+quad_diag_train.defvjp(_quad_diag_train_fwd, _quad_diag_train_bwd)

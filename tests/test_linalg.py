@@ -394,3 +394,45 @@ def test_quad_diag_forward_mode_and_upper_grad():
                                np.asarray(jax.grad(f)(L0)), atol=1e-10)
     g = jax.grad(lambda l: jnp.sum(linalg.quad_diag(A, l)))(L0)
     assert np.all(np.triu(np.asarray(g), 1) == 0.0)
+
+
+def test_quad_diag_train_matches_quad_diag_and_grads():
+    """quad_diag_train: identical values to quad_diag and identical
+    reverse-mode gradients (its custom VJP computes the cotangents via
+    structure-aware half-flop matmuls); t_matmul_tril_out == tril(A^T B)
+    at blocked and unblocked sizes."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    for m in (8, 512):  # unblocked and blocked (_TRI_NB = 256)
+        A = jnp.asarray(rng.randn(2, 24, m))
+        B = jnp.asarray(rng.randn(2, 24, m))
+        want = np.tril(np.einsum("qnm,qnk->qmk", np.asarray(A),
+                                 np.asarray(B)))
+        got = np.asarray(linalg.t_matmul_tril_out(A, B))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        assert (np.triu(got, 1) == 0).all()
+
+        L = jnp.asarray(np.tril(rng.randn(2, m, m)))
+        v0 = np.asarray(linalg.quad_diag(A, L))
+        v1 = np.asarray(linalg.quad_diag_train(A, L))
+        np.testing.assert_allclose(v1, v0, atol=1e-12)
+
+        w = jnp.asarray(rng.rand(2, 24))
+
+        def f0(a, l):
+            return jnp.sum(w * linalg.quad_diag(a, l))
+
+        def f1(a, l):
+            return jnp.sum(w * linalg.quad_diag_train(a, l))
+
+        g0 = jax.grad(f0, argnums=(0, 1))(A, L)
+        g1 = jax.grad(f1, argnums=(0, 1))(A, L)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   atol=1e-11)
+        # quad_diag's JVP-transpose L-grad is already tril-masked; the
+        # custom VJP must agree exactly on the lower triangle and be zero
+        # above it
+        np.testing.assert_allclose(np.asarray(g1[1]),
+                                   np.asarray(jnp.tril(g0[1])), atol=1e-11)
+        assert (np.triu(np.asarray(g1[1]), 1) == 0).all()

@@ -624,3 +624,59 @@ def test_sharded_predictive_splits_compute_eight_ways():
     m1, v1 = f1(params, X)
     np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), rtol=1e-10)
+
+
+def test_sharded_natgrad_scan_trainer_matches_unsharded():
+    """The round-4 natgrad state (carried S^{-1} in TrainState) through
+    the sharded scan trainer: 8-device 1-D mesh trajectory == unsharded,
+    and on a 2-D ('data','latent') mesh the carried S^{-1} stays
+    latent-sharded across steps."""
+    rng = np.random.RandomState(11)
+    n, M, Q = 64, 8, 4
+    liks = (L.HetGaussian(), L.Bernoulli())
+    cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
+                      input_dim=1, whiten=True, dtype="float64")
+    X_list = [rng.rand(n, 1), rng.rand(n, 1)]
+    Y_list = [rng.randn(n, 1), (rng.rand(n, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3)
+    tc = TrainConfig(optimizer="natgrad_adam", step_rate=0.02,
+                     natgrad_lr=0.3)
+    dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype,
+                            pad_multiple=8)
+    opt = train_mod.make_optimizer(tc)
+    # the runners donate their input states: give each its own copy
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    params_copy2 = jax.tree_util.tree_map(jnp.array, params)
+
+    run_plain = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32),
+                                            vem=True, steps_per_call=10)
+    s0 = train_mod.init_train_state(params, cfg, opt, natgrad=True)
+    s1, e1 = run_plain(s0, jax.device_put(dataset), jax.random.PRNGKey(7))
+
+    mesh = sharding.data_mesh(jax.devices()[:8])
+    run_sh = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32),
+                                         vem=True, steps_per_call=10,
+                                         mesh=mesh)
+    s0b = train_mod.init_train_state(params_copy, cfg, opt, natgrad=True)
+    s2, e2 = run_sh(s0b, sharding.shard_batch(mesh, dataset),
+                    jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-9)
+
+    # 2-D mesh: S_inv (Q-leading) shards on the latent axis and stays
+    # sharded through the scan carry
+    mesh2 = sharding.model_mesh(jax.devices()[:8], latent=4)
+    run_mp = train_mod.make_scan_trainer(cfg, tc, (n, n), (32, 32),
+                                         vem=True, steps_per_call=10,
+                                         mesh=mesh2)
+    s0c = sharding.shard_state(
+        mesh2, train_mod.init_train_state(params_copy2, cfg, opt,
+                                          natgrad=True))
+    assert not s0c.S_inv.sharding.is_fully_replicated
+    s3, e3 = run_mp(s0c, sharding.shard_batch(mesh2, dataset),
+                    jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(e1), rtol=1e-9)
+    assert not s3.S_inv.sharding.is_fully_replicated
