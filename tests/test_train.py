@@ -824,3 +824,33 @@ def test_clip_grad_norm_bounds_updates():
     with pytest.raises(ValueError, match="adadelta"):
         train_mod.make_optimizer(TrainConfig(optimizer="adadelta",
                                              clip_grad_norm=1.0))
+
+
+def test_ard_lengthscales_train_anisotropically():
+    """config.ard=True: per-dimension lengthscales (the reference's GPy RBF
+    is ARD-capable, SURVEY §2b) train end-to-end and separate in the right
+    direction when the data varies fast in x1 and is flat in x2."""
+    rng = np.random.RandomState(8)
+    n, M, Q = 200, 12, 1
+    cfg = ModelConfig(likelihoods=(L.Gaussian(sigma=0.3),), num_latent=Q,
+                      num_inducing=M, input_dim=2, ard=True, dtype="float64")
+    X = rng.rand(n, 2)
+    Y = np.sin(8 * X[:, :1]) + 0.05 * rng.randn(n, 1)  # x2-independent
+    Z = rng.rand(M, 2)
+    params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.4,
+                         q_mu_scale=0.3)
+    assert params.log_lengthscale.shape == (Q, 2)
+    data, scales = full_batch([X], [Y], dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    tc = TrainConfig(optimizer="adam", step_rate=0.03)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt)
+    e0 = None
+    for _ in range(250):
+        state, m = step(state, data, scales)
+        e0 = float(m["elbo"]) if e0 is None else e0
+    assert float(m["elbo"]) > e0
+    ls = np.exp(np.asarray(state.params.log_lengthscale))[0]
+    # fast-varying dim learns a (much) shorter lengthscale than the inert one
+    assert ls[0] < 0.5 * ls[1], ls
