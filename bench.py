@@ -314,7 +314,11 @@ def run_workload(metric, N_per, M, Q, B, steps_per_call, calls,
 
 
 
-def run_serve(metric, N_total=1_000_000, M=1024, Q=4, chunk=65536):
+def run_serve(metric, N_total=1_000_000, M=1024, Q=4, chunk=65536,
+              ve_fwd_precision="highest"):
+    # ve_fwd_precision: measurement knob only — HIGH measured SLOWER for
+    # serving (2.24M vs 2.56M rows/s; the chunk path is not projection-
+    # pass-bound) and HIGHEST is the safer predictive-variance accuracy.
     """Serving throughput: observation-space predictive moments, rows/sec.
 
     The production serving shape (prompt: large-scale deployment): the
@@ -347,7 +351,8 @@ def run_serve(metric, N_total=1_000_000, M=1024, Q=4, chunk=65536):
     Dx = 2
     cfg = ModelConfig(likelihoods=liks, num_latent=Q, num_inducing=M,
                       input_dim=Dx, dtype="float32", jitter=1e-4,
-                      adaptive_jitter=False)
+                      adaptive_jitter=False,
+                      ve_fwd_precision=ve_fwd_precision)
     Z = rng.rand(M, Dx).astype(np.float32)
     params = init_params(jax.random.PRNGKey(0), cfg, Z, lengthscale=0.2,
                          variance=0.5, q_mu_scale=0.1)
