@@ -37,6 +37,12 @@ from hetmogp_tpu.models import elbo as elbo_mod
 from hetmogp_tpu.models.params import SVMOGPParams
 from hetmogp_tpu.ops import linalg
 
+import os as _os
+
+# natgrad lr-backoff on by default; =0 is a measurement-only escape hatch
+# (see natgrad_ve_step)
+_NG_BACKOFF = _os.environ.get("HETMOGP_NG_BACKOFF", "1") != "0"
+
 
 # ---------------------------------------------------------------------------
 # gradient masks (the fix/unfix mechanism)
@@ -1296,20 +1302,28 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     # state (the GPy analogue is jitchol's escalation, reference
     # util.py:198).  aux['ng_backoff']: 0 = clean, 1 = lr/4 accepted,
     # 2 = update skipped.
-    out1 = attempt(lr)
-    ok1 = jnp.isfinite(out1[0]).all() & jnp.isfinite(out1[1]).all()
+    if _NG_BACKOFF:
+        out1 = attempt(lr)
+        ok1 = jnp.isfinite(out1[0]).all() & jnp.isfinite(out1[1]).all()
 
-    def _accept(_):
-        return out1 + (jnp.zeros((), jnp.int32),)
+        def _accept(_):
+            return out1 + (jnp.zeros((), jnp.int32),)
 
-    def _backoff(_):
-        out2 = attempt(lr * 0.25)
-        ok2 = jnp.isfinite(out2[0]).all() & jnp.isfinite(out2[1]).all()
-        kept = (m, Lq, S_inv)
-        sel = tuple(jnp.where(ok2, a, b) for a, b in zip(out2, kept))
-        return sel + (jnp.where(ok2, jnp.int32(1), jnp.int32(2)),)
+        def _backoff(_):
+            out2 = attempt(lr * 0.25)
+            ok2 = jnp.isfinite(out2[0]).all() & jnp.isfinite(out2[1]).all()
+            kept = (m, Lq, S_inv)
+            sel = tuple(jnp.where(ok2, a, b) for a, b in zip(out2, kept))
+            return sel + (jnp.where(ok2, jnp.int32(1), jnp.int32(2)),)
 
-    m_new, L_new, S_inv_new, nb = jax.lax.cond(ok1, _accept, _backoff, None)
+        m_new, L_new, S_inv_new, nb = jax.lax.cond(ok1, _accept, _backoff,
+                                                   None)
+    else:
+        # HETMOGP_NG_BACKOFF=0: measurement-only escape hatch (the cond's
+        # cost in the scan pipeline); a non-PD A then poisons q like the
+        # pre-round-4 behavior — pair with skip_nonfinite_steps
+        m_new, L_new, S_inv_new = attempt(lr)
+        nb = jnp.zeros((), jnp.int32)
     new_params = params.replace(q_mu=m_new, q_sqrt=L_new)
     aux = {"ve": ve_sums, "kl": kl, "ng_backoff": nb}
     return new_params, ve_total - kl, aux, S_inv_new
