@@ -23,10 +23,12 @@ field is still printed, so the recorded artifact always parses.
 
 Modes:
   python bench.py              flagship N=1e6/M=1024/Q=4 workload
-  python bench.py --sweep-m    M-scaling sweep (M=512/1024/2048), one JSON
-                               line per point (secondary artifact)
+  python bench.py --sweep-m    M-scaling sweep (M=512/1024/2048/4096), one
+                               JSON line per point (secondary artifact)
   python bench.py --serve      serving throughput: observation-space
                                predictive over N=1e6 rows (rows/sec)
+  python bench.py --serve-mesh virtual-CPU serving-scaling evidence
+                               (per-device flop split at 8 devices)
   python bench.py --mesh       virtual-CPU mesh plumbing check
   HETMOGP_BENCH_QUICK=1        small workload, under its OWN metric name
   HETMOGP_BENCH_TINY=1         minutes-scale CPU workload (chaos test)
