@@ -9,7 +9,9 @@ grad, and optimizer update all inside one XLA program.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N/100,
-   "tflops_per_sec": ..., "mfu": ..., "attempts": k}
+   "tflops_per_sec": ..., "mfu_logical": ..., "mfu_physical": ...,
+   "matmul_by_passes": ..., "attempts": k}
+(flop fields per the parsed-HLO accounting, DESIGN.md "MFU accounting")
 
 Resilience: the workload always runs in a fresh subprocess supervised by
 this script.  Transient TPU backend failures (libtpu client/runtime version
