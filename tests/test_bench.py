@@ -168,3 +168,30 @@ def test_serve_mode_runs_and_reports_rows_per_sec():
     assert r["unit"] == "rows/sec"
     assert r["value"] > 0
     assert r["devices"] == 8  # sharded path on the virtual mesh
+
+
+def test_hlo_cost_counts_scan_body_once():
+    """A lax.scan's body dots must be counted ONCE (per-step semantics,
+    matching cost_analysis), regardless of trip count."""
+    import jax
+    import jax.numpy as jnp
+
+    from hetmogp_tpu import hlo_cost
+
+    A = jnp.ones((64, 64), jnp.float32)
+
+    def make(n):
+        def f(x):
+            def body(c, _):
+                return jnp.matmul(c, x, precision=jax.lax.Precision.HIGH), ()
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c.sum()
+
+        txt = jax.jit(f).lower(A).compile().as_text()
+        return hlo_cost.matmul_flops(txt)
+
+    dot = 2 * 64 ** 3
+    r3, r7 = make(3), make(7)
+    assert r3["n_dots"] >= 1
+    assert r3["logical"] == r7["logical"] == dot
+    assert r3["physical"] == 3 * dot  # HIGH = 3 passes
