@@ -854,3 +854,52 @@ def test_ard_lengthscales_train_anisotropically():
     ls = np.exp(np.asarray(state.params.log_lengthscale))[0]
     # fast-varying dim learns a (much) shorter lengthscale than the inert one
     assert ls[0] < 0.5 * ls[1], ls
+
+
+def test_skip_nonfinite_steps_guards_natgrad_state():
+    """skip_nonfinite_steps under natgrad_adam: a poisoned batch leaves
+    params AND the carried S^{-1} untouched; a clean step then moves both
+    (and keeps S^{-1} consistent with the new q_sqrt)."""
+    import jax
+
+    from hetmogp_tpu import Bernoulli, Gaussian, ModelConfig, TrainConfig
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.data import full_batch
+    from hetmogp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(likelihoods=(Gaussian(), Bernoulli()), num_latent=2,
+                      num_inducing=6, input_dim=1, whiten=True,
+                      dtype="float64")
+    X_list = [rng.rand(20, 1), rng.rand(15, 1)]
+    Y_list = [rng.randn(20, 1), (rng.rand(15, 1) > 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, 6)[:, None], lengthscale=0.3)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    bad = tuple(d._replace(X=d.X.at[0, 0].set(np.nan)) for d in data)
+
+    tc = TrainConfig(optimizer="natgrad_adam", step_rate=0.01,
+                     natgrad_lr=0.3, skip_nonfinite_steps=True)
+    step = train_mod.make_svi_step(cfg, tc, vem=True)
+    opt = train_mod.make_optimizer(tc)
+    state0 = train_mod.init_train_state(params, cfg, opt, natgrad=True)
+    assert state0.S_inv is not None
+
+    state1, m1 = step(state0, bad, scales)
+    assert int(m1["skipped"]) == 1
+    np.testing.assert_array_equal(np.asarray(state1.S_inv),
+                                  np.asarray(state0.S_inv))
+    np.testing.assert_array_equal(np.asarray(state1.params.q_mu),
+                                  np.asarray(state0.params.q_mu))
+
+    state2, m2 = step(state1, data, scales)
+    assert int(m2["skipped"]) == 0
+    assert np.isfinite(float(m2["elbo"]))
+    assert not np.array_equal(np.asarray(state2.params.q_mu),
+                              np.asarray(state1.params.q_mu))
+    # carried S^{-1} tracks the updated factor: S_inv (L L^T) == I
+    Lq = jnp.tril(state2.params.q_sqrt)
+    prod = np.asarray(state2.S_inv) @ np.asarray(Lq @ Lq.mT)
+    eye = np.eye(cfg.num_inducing)
+    assert np.abs(prod - eye[None]).max() < 1e-6
