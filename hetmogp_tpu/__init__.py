@@ -35,6 +35,7 @@ from hetmogp_tpu.likelihoods import (
     Gaussian,
     HetGaussian,
     HetLikelihood,
+    NegativeBinomial,
     Poisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
@@ -55,6 +56,7 @@ __all__ = [
     "Beta",
     "Gamma",
     "Exponential",
+    "NegativeBinomial",
     "Poisson",
     "StudentT",
     "Ordinal",

@@ -9,6 +9,7 @@ from hetmogp_tpu.likelihoods.gaussian import Gaussian
 from hetmogp_tpu.likelihoods.hetgaussian import HetGaussian
 from hetmogp_tpu.likelihoods.heterogeneous import HetLikelihood
 from hetmogp_tpu.likelihoods.ordinal import Ordinal
+from hetmogp_tpu.likelihoods.negbinomial import NegativeBinomial
 from hetmogp_tpu.likelihoods.poisson import Poisson
 from hetmogp_tpu.likelihoods.student import StudentT
 
@@ -23,6 +24,7 @@ __all__ = [
     "Beta",
     "Gamma",
     "Exponential",
+    "NegativeBinomial",
     "Poisson",
     "StudentT",
     "Ordinal",

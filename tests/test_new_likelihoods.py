@@ -13,7 +13,8 @@ import numpy as np
 import pytest
 from scipy import special as ssp
 
-from hetmogp_tpu.likelihoods import Dirichlet, Ordinal, StudentT
+from hetmogp_tpu.likelihoods import (Dirichlet, NegativeBinomial, Ordinal,
+                                     StudentT)
 from tests import oracle_numpy as oracle
 
 
@@ -48,15 +49,24 @@ def _simplex(rng, n, K):
     return g / g.sum(1, keepdims=True)
 
 
+def np_logpdf_negbin(F, y, r=2.0):
+    mu = np.clip(np.exp(F[:, 0]), 1e-9, 1e9)
+    return (ssp.gammaln(y[:, 0] + r) - ssp.gammaln(r)
+            - ssp.gammaln(y[:, 0] + 1.0)
+            + r * np.log(r / (r + mu)) + y[:, 0] * np.log(mu / (r + mu)))
+
+
 CASES = [
     (StudentT(df=4.0), np_logpdf_student,
      lambda rng, n: rng.randn(n, 1), 2, 20),
+    (NegativeBinomial(r=2.0), np_logpdf_negbin,
+     lambda rng, n: rng.poisson(2.0, (n, 1)).astype(float), 1, 20),
     (Ordinal(K=4), lambda F, y: np_logpdf_ordinal(F, y, 4),
      lambda rng, n: rng.randint(1, 5, (n, 1)).astype(float), 1, 20),
     (Dirichlet(K=3), np_logpdf_dirichlet,
      lambda rng, n: _simplex(rng, n, 3), 3, 5),
 ]
-IDS = ["StudentT", "Ordinal", "Dirichlet"]
+IDS = ["StudentT", "NegativeBinomial", "Ordinal", "Dirichlet"]
 
 
 @pytest.mark.parametrize("lik,olp,gen,j,t", CASES, ids=IDS)
@@ -176,3 +186,75 @@ def test_dirichlet_predictive_scales_with_K():
     mp8, vp8 = lik8.predictive(M8, V8)  # 64 nodes, not 5^8=390k
     assert mp8.shape == (n, 8) and np.isfinite(mp8).all()
     np.testing.assert_allclose(np.asarray(mp8).sum(-1), 1.0, atol=1e-3)
+
+
+def test_negbinomial_poisson_limit_and_overdispersion():
+    """NB2 sanity: r -> inf recovers the Poisson logpdf; at finite r the
+    sampler's variance matches mu + mu^2/r (overdispersed), and
+    conditional_moments agree."""
+    from hetmogp_tpu.likelihoods import Poisson
+
+    rng = np.random.RandomState(0)
+    F = jnp.asarray(0.5 * rng.randn(9, 1))
+    Y = jnp.asarray(rng.poisson(2.0, (9, 1)).astype(float))
+    big = NegativeBinomial(r=1e7)
+    pois = Poisson()
+    np.testing.assert_allclose(np.asarray(big.logpdf_batch(F, Y)),
+                               np.asarray(pois.logpdf_batch(F, Y)),
+                               atol=1e-5)
+
+    lik = NegativeBinomial(r=1.5)
+    mu = 3.0
+    Fs = jnp.full((200_000, 1), np.log(mu))
+    s = np.asarray(lik.sample(jax.random.PRNGKey(1), Fs))
+    want_var = mu + mu ** 2 / 1.5
+    assert abs(s.mean() - mu) < 0.05 * mu
+    assert abs(s.var() - want_var) < 0.05 * want_var
+    cm, cv = lik.conditional_moments(jnp.asarray([np.log(mu)]))
+    np.testing.assert_allclose(float(cm[0]), mu, rtol=1e-6)
+    np.testing.assert_allclose(float(cv[0]), want_var, rtol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="r must be"):
+        NegativeBinomial(r=-1.0)
+
+
+def test_negbinomial_learn_r_end_to_end():
+    """learn_r=True: theta = [log r] trains through the theta machinery on
+    overdispersed counts and moves a mis-specified dispersion toward the
+    truth; with_theta bakes it for prediction."""
+    from hetmogp_tpu.config import ModelConfig, TrainConfig
+    from hetmogp_tpu import train as train_mod
+    from hetmogp_tpu.data import full_batch
+    from hetmogp_tpu.models.params import init_params
+
+    lik = NegativeBinomial(r=50.0, learn_r=True)  # truth is r=1.5
+    assert lik.n_theta == 1
+    assert abs(lik.with_theta(np.log([3.0])).r - 3.0) < 1e-12
+    rng = np.random.RandomState(4)
+    n, M, Q = 150, 6, 1
+    cfg = ModelConfig(likelihoods=(lik,), num_latent=Q, num_inducing=M,
+                      input_dim=1, dtype="float64")
+    X = np.sort(rng.rand(n, 1), 0)
+    f_true = np.log(3.0) + 0.5 * np.sin(4 * X)
+    true = NegativeBinomial(r=1.5)
+    Y = np.asarray(true.sample(jax.random.PRNGKey(0), jnp.asarray(f_true)))
+    params = init_params(jax.random.PRNGKey(1), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3,
+                         q_mu_scale=0.3, with_lik_theta=True)
+    data, scales = full_batch([X], [Y], dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    tc = TrainConfig(optimizer="adam", step_rate=0.05, learn_lik_params=True)
+    step = train_mod.make_svi_step(cfg, tc, vem=False)
+    opt = train_mod.make_optimizer(tc)
+    state = train_mod.init_train_state(params, cfg, opt)
+    e0 = None
+    for _ in range(300):
+        state, m = step(state, data, scales)
+        e0 = float(m["elbo"]) if e0 is None else e0
+    assert float(m["elbo"]) > e0
+    r_learned = float(np.exp(np.asarray(state.params.lik_theta[0])[0]))
+    assert r_learned < 25.0  # moved decisively off the r=50 init
+    cfg2 = cfg.with_trained_likelihoods(state.params)
+    assert abs(cfg2.likelihoods[0].r - r_learned) < 1e-9
