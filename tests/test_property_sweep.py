@@ -26,6 +26,8 @@ _LIK_POOL = [
     (L.Exponential(), lambda rng, n: rng.exponential(1.0, (n, 1)) + 1e-3),
     (L.StudentT(df=5.0), lambda rng, n: rng.standard_t(5.0, (n, 1))),
     (L.Ordinal(K=3), lambda rng, n: rng.randint(1, 4, (n, 1)).astype(float)),
+    (L.NegativeBinomial(r=1.5),
+     lambda rng, n: rng.poisson(2.0, (n, 1)).astype(float)),
 ]
 
 
