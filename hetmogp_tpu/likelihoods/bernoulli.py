@@ -22,12 +22,31 @@ def _prob(f):
     return jnp.clip(p, 1e-9, 1.0 - 1e-9)
 
 
+# the reference's probability clip [1e-9, 1-1e-9] (bernoulli.py:34),
+# expressed in LOG space so it survives float32: computing log1p(-p)
+# through the probability rounds p to exactly 1.0 for f >~ 17 in f32
+# (1 - 1e-9 is not representable), giving log(0) = -inf and then
+# 0 * -inf = NaN in the y-weighted sum — measured as a NaN Bernoulli
+# var_exp at perfectly finite moments (m ~ 15, v ~ 2.6).  log p =
+# -softplus(-f) and log(1-p) = -softplus(f) are exact and stable at any
+# f; the clip bounds are applied to the logs, reproducing the reference
+# values bit-for-bit in f64 within the clip's active range.
+_LOG_LO = float(jnp.log(1e-9))
+_LOG_HI = float(jnp.log1p(-1e-9))
+
+
+def _log_probs(f):
+    log_p = jnp.clip(-jax.nn.softplus(-f), _LOG_LO, _LOG_HI)
+    log_1mp = jnp.clip(-jax.nn.softplus(f), _LOG_LO, _LOG_HI)
+    return log_p, log_1mp
+
+
 @dataclasses.dataclass(frozen=True)
 class Bernoulli(Likelihood):
 
     def logpdf(self, f, y):
-        p = _prob(f[0])
-        return y[0] * jnp.log(p) + (1.0 - y[0]) * jnp.log1p(-p)
+        log_p, log_1mp = _log_probs(f[0])
+        return y[0] * log_p + (1.0 - y[0]) * log_1mp
 
     def conditional_moments(self, f):
         p = _prob(f[:1])

@@ -239,3 +239,31 @@ def test_categorical_grid_guard_fails_fast():
     assert L.Categorical(K=6).dim_f == 5
     with pytest.raises(ValueError, match="K >= 2"):
         L.Categorical(K=1)
+
+
+def test_bernoulli_var_exp_finite_in_float32_at_large_means():
+    """float32 regression: computing log(1-p) through the probability
+    rounds p to exactly 1.0 for f >~ 17 (1 - 1e-9 is not representable in
+    f32), producing log(0) * 0 = NaN in the y-weighted logpdf — measured
+    as a NaN Bernoulli var_exp at finite moments (m ~ 15, v ~ 2.6) during
+    natural-gradient training.  The log-space clip must stay finite (value
+    AND gradient) at any magnitude, in both dtypes."""
+    lik = L.Bernoulli()
+    for dt in (jnp.float32, jnp.float64):
+        m = jnp.asarray([[15.3], [-22.0], [40.0], [0.3]], dt)
+        v = jnp.asarray([[2.6], [1.0], [5.0], [0.4]], dt)
+        y = jnp.asarray([[1.0], [0.0], [0.0], [1.0]], dt)
+        ve = lik.var_exp(y, m, v)
+        assert np.isfinite(np.asarray(ve)).all(), dt
+        dm, dv = lik.var_exp_derivatives(y, m, v)
+        assert np.isfinite(np.asarray(dm)).all(), dt
+        assert np.isfinite(np.asarray(dv)).all(), dt
+    # f64 parity with the reference's probability-space clipped formula
+    # (bernoulli.py:26-34) on moderate inputs
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(3.0 * rng.randn(50, 1))
+    y = jnp.asarray((rng.rand(50, 1) > 0.5).astype(float))
+    p = np.clip(1 / (1 + np.exp(-np.asarray(f))), 1e-9, 1 - 1e-9)
+    want = np.asarray(y) * np.log(p) + (1 - np.asarray(y)) * np.log1p(-p)
+    got = np.asarray(lik.logpdf_batch(f, y))
+    np.testing.assert_allclose(got, want[:, 0], atol=1e-12)
