@@ -436,7 +436,9 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                         Luu=sg(state.Luu),
                         iLuu=sg(state.iLuu) if fastp else None,
                         S_inv=(sg(state.S_inv)
-                               if state.S_inv is not None else None))
+                               if state.S_inv is not None else None),
+                        retraction=train_config.natgrad_retraction,
+                        trust=train_config.natgrad_trust)
                     q_out = (new_p.q_mu, new_p.q_sqrt)
                     if state.S_inv is not None:
                         q_out = q_out + (s_inv_new,)
@@ -531,8 +533,10 @@ def make_svi_step_body(config: ModelConfig, train_config: TrainConfig,
                 # and O(Q M^3) factorizations entirely (jnp.where would
                 # evaluate both sides under jit)
                 def ng(p):
-                    return natgrad_update(p, data, scales, config,
-                                          train_config.natgrad_lr)
+                    return natgrad_update(
+                        p, data, scales, config, train_config.natgrad_lr,
+                        retraction=train_config.natgrad_retraction,
+                        trust=train_config.natgrad_trust)
 
                 if vem:
                     do_ng = (state.step % cycle) < train_config.ve_steps_per_vm
@@ -670,9 +674,13 @@ def svi_fit(params: SVMOGPParams, config: ModelConfig,
     """
     step = make_svi_step(config, train_config, vem=vem)
     optimizer = make_optimizer(train_config)
-    state = init_train_state(params, config, optimizer, cache_luu=vem,
-                             fast_projection=train_config.fast_projection,
-                             natgrad=train_config.optimizer == "natgrad_adam")
+    state = init_train_state(
+        params, config, optimizer, cache_luu=vem,
+        fast_projection=train_config.fast_projection,
+        # the carried S^{-1} exists only for the exact retraction — the
+        # cholesky retraction never consumes it
+        natgrad=(train_config.optimizer == "natgrad_adam"
+                 and train_config.natgrad_retraction == "exact"))
     history = np.empty(num_steps)
     for i in range(num_steps):
         data, scales = stream.next()
@@ -983,9 +991,13 @@ def svi_fit_on_device(params: SVMOGPParams, config: ModelConfig,
             # else: a manual save_checkpoint_sharded without rng_key —
             # continue with the caller's key (correct but a different
             # minibatch stream than the uninterrupted run)
-    state = init_train_state(params, config, optimizer, cache_luu=vem,
-                             fast_projection=train_config.fast_projection,
-                             natgrad=train_config.optimizer == "natgrad_adam")
+    state = init_train_state(
+        params, config, optimizer, cache_luu=vem,
+        fast_projection=train_config.fast_projection,
+        # the carried S^{-1} exists only for the exact retraction — the
+        # cholesky retraction never consumes it
+        natgrad=(train_config.optimizer == "natgrad_adam"
+                 and train_config.natgrad_retraction == "exact"))
     if opt_state0 is not None:
         state = state._replace(opt_state=opt_state0,
                                step=step0.astype(state.step.dtype))
@@ -1138,7 +1150,8 @@ def _as_batch(X_list, Y_list, config: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
-                    lr: float, Luu=None, iLuu=None, S_inv=None):
+                    lr: float, Luu=None, iLuu=None, S_inv=None,
+                    retraction: str = "exact", trust: float = 0.3):
     """Fused natural-gradient VE step on the whitened q(u).
 
     Returns (new_params, elbo, aux, S_inv_new) — ONE forward+backward
@@ -1166,6 +1179,33 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     S_inv: optional carried (Q, M, M) = (Lq Lq^T)^{-1} for the CURRENT Lq
     (the trainer threads the returned S_inv_new back in); None recomputes
     it from Lq (cold start / oracle mode).
+
+    retraction="cholesky" (TrainConfig.natgrad_retraction): the
+    triangular-group local-coordinate natural gradient (structured NGD in
+    the style of Lin, Schmidt & Khan, 2021).  In the local
+    parameterization m' = m + L d, L' = L (I + B) with B lower
+    triangular, the Gaussian Fisher metric at the current point is
+    DIAGONAL (the d-block is L^T S^{-1} L = I; the B-block is 1 on
+    off-diagonal entries, 2 on the diagonal), so the natural step is
+
+        H     = L^T dS L  =  L^T dS_ve L + 0.5 (I - L^T L)
+        X     = 2 lr Phi(H)              (Phi: tril, diagonal halved)
+        L_new = L (I + X),   m_new = m + lr L L^T dm
+
+    — three triangular-aware matmuls and two matvecs: NO factorization,
+    NO solve, NO S^{-1} anywhere (the KL's S^{-1} cancels inside the
+    congruence; S_inv passes through unchanged/None).  X is DAMPED per
+    latent to the trust ball, s_q = min(1, trust / max|X_q|): this keeps
+    diag(I + X) in [1 - trust, 1 + trust] (positive by construction, so
+    L_new is always a valid Cholesky factor and S_new = L_new L_new^T is
+    PSD for ANY lr) and bounds the per-step covariance contraction —
+    without it the raw multiplicative step cannot cross the
+    orders-of-magnitude covariance shrink a fresh fit needs (measured:
+    the undamped linear step flips the diagonal and freezes; DESIGN
+    §7i).  Damping rescales, never redirects: the step stays a positive
+    multiple of the natural gradient per latent block.  First-order in
+    lr (inside the trust ball) this equals the exact retraction;
+    conjugate lr=1 CAVI exactness does not hold.
     """
     assert config.whiten, "natural gradients require the whitened parameterization"
     hi = jax.lax.Precision.HIGHEST
@@ -1175,7 +1215,10 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
     eye = jnp.eye(Mi, dtype=Lq.dtype)
     if Luu is None:
         Luu = elbo_mod.prior_cholesky(params, config)
-    if S_inv is None:
+    if retraction not in ("exact", "cholesky"):
+        raise ValueError(f"unknown natgrad retraction {retraction!r}; "
+                         "use 'exact' or 'cholesky'")
+    if S_inv is None and retraction == "exact":
         # cold start (or oracle/uncached mode): one triangular inverse +
         # one HIGHEST product.  The scan trainer avoids this per step by
         # carrying S_inv in the TrainState: the NGD update itself produces
@@ -1251,13 +1294,57 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
                         + jnp.sum(jnp.square(m), axis=-1)
                         - Mi - linalg.logdet_from_chol(Lq)))
     g_m = g_m_ve - m
-    g_S = (0.5 * (g_S_ve + jnp.swapaxes(g_S_ve, -1, -2))
-           + 0.5 * (S_inv - eye))
+    g_S_ve_sym = 0.5 * (g_S_ve + jnp.swapaxes(g_S_ve, -1, -2))
 
-    theta1 = jnp.einsum("qmk,qk->qm", S_inv, m)
-    d_eta1 = g_m - 2.0 * jnp.einsum("qmk,qk->qm", g_S, m)
+    if retraction == "cholesky":
+        # H = L^T dS L with dS = g_S_ve + 0.5 (S^{-1} - I): the S^{-1}
+        # term collapses to 0.5 I under the congruence — fold the -0.5 I
+        # into the VE part and add 0.5 I after the two matmuls.  HIGH
+        # precision: these shape the update DIRECTION (gradient-noise
+        # class, like linalg._BWD), not a cancellation-sensitive value.
+        hp = jax.lax.Precision.HIGH
+        G0 = g_S_ve_sym - 0.5 * eye
+        H = linalg.matmul_tril(
+            linalg.tril_t_matmul(Lq, G0, precision=hp), Lq, precision=hp)
+        H = 0.5 * (H + jnp.swapaxes(H, -1, -2)) + 0.5 * eye
+        # m-step in local coordinates: d = lr L^T dm, m_new = m + L d.
+        # d lives in the Mahalanobis-normalized chart (its Fisher metric
+        # is I), so an RMS cap of `trust` means "move the mean at most
+        # `trust` posterior standard deviations per step" — without it
+        # the raw step explodes at production gradient scales exactly
+        # like the L-step's diagonal did.
+        Lt_gm = jnp.einsum("qkm,qk->qm", Lq, g_m)
 
-    def attempt(lr_):
+        def attempt(lr_):
+            X = 2.0 * lr_ * linalg._phi(H)
+            # per-latent trust damping (see docstring): diag(I + X) stays
+            # in [1 - trust, 1 + trust] > 0, so the factor never leaves
+            # the Cholesky manifold at any lr
+            mx = jnp.max(jnp.abs(X), axis=(-2, -1), keepdims=True)
+            X = X * jnp.minimum(1.0, trust / jnp.maximum(mx, 1e-30))
+            L_new = Lq + linalg.matmul_tril(Lq, X, precision=hp)
+            d = lr_ * Lt_gm
+            rms = jnp.sqrt(jnp.mean(jnp.square(d), axis=-1, keepdims=True))
+            d = d * jnp.minimum(1.0, trust / jnp.maximum(rms, 1e-30))
+            m_new = m + jnp.einsum("qmk,qk->qm", Lq, d)
+            return m_new, L_new
+
+        def _ok(out):
+            d = jnp.diagonal(out[1], axis1=-2, axis2=-1)
+            return (jnp.isfinite(out[0]).all()
+                    & jnp.isfinite(out[1]).all() & (d > 0).all())
+
+        kept_vals = (m, Lq)
+    else:
+        g_S = g_S_ve_sym + 0.5 * (S_inv - eye)
+        theta1 = jnp.einsum("qmk,qk->qm", S_inv, m)
+        d_eta1 = g_m - 2.0 * jnp.einsum("qmk,qk->qm", g_S, m)
+        kept_vals = (m, Lq, S_inv)
+
+        def _ok(out):
+            return jnp.isfinite(out[0]).all() & jnp.isfinite(out[1]).all()
+
+    def attempt_exact(lr_):
         """One NGD update at step size lr_; NaNs signal an indefinite A."""
         theta1_new = theta1 + lr_ * d_eta1
         # A = -2 theta2_new = S^{-1} - 2 lr dS  (must stay PD)
@@ -1294,44 +1381,54 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
                            jnp.einsum("qkm,qk->qm", L_new, theta1_new))
         return m_new, L_new, S_inv_n
 
-    # lr backoff (round-3 verdict weak #2): a large lr can drive A
-    # indefinite — the reversed Cholesky then surfaces NaNs.  Retry once at
-    # lr/4 (a lax.cond branch: no cost on the healthy path beyond one
-    # finiteness reduce), and if even that fails keep the old (m, Lq,
-    # S_inv) — the step degrades to a no-op on q instead of poisoning the
-    # state (the GPy analogue is jitchol's escalation, reference
-    # util.py:198).  aux['ng_backoff']: 0 = clean, 1 = lr/4 accepted,
-    # 2 = update skipped.
+    if retraction == "exact":
+        attempt = attempt_exact
+
+    # lr backoff (round-3 verdict weak #2): a large lr can drive the exact
+    # retraction's A indefinite — the reversed Cholesky then surfaces
+    # NaNs.  Retry once at lr/4 (a lax.cond branch: measured ZERO cost on
+    # the healthy path, DESIGN §7i), and if even that fails keep the old
+    # state — the step degrades to a no-op on q instead of poisoning the
+    # run (the GPy analogue is jitchol's escalation, reference
+    # util.py:198).  The cholesky retraction's trust damping makes
+    # backoff structurally unreachable (diag > 0 by construction); the
+    # guard stays armed for non-finite gradients.  aux['ng_backoff']:
+    # 0 = clean, 1 = lr/4 accepted, 2 = update skipped.
     if _NG_BACKOFF:
         out1 = attempt(lr)
-        ok1 = jnp.isfinite(out1[0]).all() & jnp.isfinite(out1[1]).all()
+        ok1 = _ok(out1)
 
         def _accept(_):
             return out1 + (jnp.zeros((), jnp.int32),)
 
         def _backoff(_):
             out2 = attempt(lr * 0.25)
-            ok2 = jnp.isfinite(out2[0]).all() & jnp.isfinite(out2[1]).all()
-            kept = (m, Lq, S_inv)
-            sel = tuple(jnp.where(ok2, a, b) for a, b in zip(out2, kept))
+            ok2 = _ok(out2)
+            sel = tuple(jnp.where(ok2, a, b)
+                        for a, b in zip(out2, kept_vals))
             return sel + (jnp.where(ok2, jnp.int32(1), jnp.int32(2)),)
 
-        m_new, L_new, S_inv_new, nb = jax.lax.cond(ok1, _accept, _backoff,
-                                                   None)
+        outs = jax.lax.cond(ok1, _accept, _backoff, None)
     else:
-        # HETMOGP_NG_BACKOFF=0: measurement-only escape hatch (the cond's
-        # cost in the scan pipeline); a non-PD A then poisons q like the
-        # pre-round-4 behavior — pair with skip_nonfinite_steps
-        m_new, L_new, S_inv_new = attempt(lr)
-        nb = jnp.zeros((), jnp.int32)
+        # HETMOGP_NG_BACKOFF=0: measurement-only escape hatch; a bad step
+        # then poisons q like the pre-round-4 behavior — pair with
+        # skip_nonfinite_steps
+        outs = attempt(lr) + (jnp.zeros((), jnp.int32),)
+    if retraction == "cholesky":
+        m_new, L_new, nb = outs
+        S_inv_new = S_inv  # pass-through (None under the trainers)
+    else:
+        m_new, L_new, S_inv_new, nb = outs
     new_params = params.replace(q_mu=m_new, q_sqrt=L_new)
     aux = {"ve": ve_sums, "kl": kl, "ng_backoff": nb}
     return new_params, ve_total - kl, aux, S_inv_new
 
 
 def natgrad_update(params: SVMOGPParams, data, scales, config: ModelConfig,
-                   lr: float, Luu=None) -> SVMOGPParams:
+                   lr: float, Luu=None, retraction: str = "exact",
+                   trust: float = 0.3) -> SVMOGPParams:
     """One natural-gradient ascent step on the whitened q(u); see
     natgrad_ve_step (this discards the fused ELBO value/aux and the
     carried S^{-1} — standalone/oracle use)."""
-    return natgrad_ve_step(params, data, scales, config, lr, Luu=Luu)[0]
+    return natgrad_ve_step(params, data, scales, config, lr, Luu=Luu,
+                           retraction=retraction, trust=trust)[0]

@@ -313,3 +313,125 @@ def test_natgrad_lr_backoff_recovers_from_indefinite_A():
     np.testing.assert_array_equal(np.asarray(p2.q_sqrt),
                                   np.asarray(jnp.tril(params.q_sqrt)))
     assert np.isfinite(np.asarray(si2)).all()
+
+
+def test_cholesky_retraction_matches_exact_direction():
+    """natgrad_retraction='cholesky' is the same natural gradient under a
+    different retraction: as lr -> 0 (inside the trust ball, where the
+    damping is inactive) the (m, S) update directions coincide with the
+    exact (theta-line) retraction."""
+    cfg, params, data, scales = _gaussian_problem()
+
+    def updates(retraction, lr):
+        p, _, _, _ = train_mod.natgrad_ve_step(params, data, scales, cfg,
+                                               lr, retraction=retraction)
+        L0 = jnp.tril(params.q_sqrt)
+        L1 = jnp.tril(p.q_sqrt)
+        dS = (L1 @ L1.mT - L0 @ L0.mT) / lr
+        dm = (p.q_mu - params.q_mu) / lr
+        return np.asarray(dm), np.asarray(dS)
+
+    # lr small against the curvature scale: the retractions agree to O(lr)
+    # RELATIVE (expansion parameter ~ 2 lr ||S g_S|| ~ 1e4 lr here), so
+    # lr = 1e-8 puts the expected gap at ~1e-4 relative
+    lr = 1e-8
+    dm_e, dS_e = updates("exact", lr)
+    dm_c, dS_c = updates("cholesky", lr)
+    assert np.abs(dm_c - dm_e).max() < 1e-3 * np.abs(dm_e).max()
+    assert np.abs(dS_c - dS_e).max() < 1e-3 * np.abs(dS_e).max()
+
+
+def test_cholesky_retraction_trust_keeps_factor_valid_any_lr():
+    """The trust damping keeps diag(I + X) in [1-trust, 1+trust]: for ANY
+    lr (including the engineered case that drives the exact retraction's
+    A indefinite, and absurd lrs) the factor stays exactly lower
+    triangular with positive diagonal, per-step contraction is bounded,
+    S_inv is never materialized, and no backoff fires."""
+    rng = np.random.RandomState(0)
+    n, M, Q = 50, 6, 1
+    cfg = ModelConfig(likelihoods=(L.Gaussian(sigma=20.0),), num_latent=Q,
+                      num_inducing=M, input_dim=1, whiten=True,
+                      dtype="float64")
+    X_list = [np.sort(rng.rand(n, 1), 0)]
+    Y_list = [np.sin(5 * X_list[0]) + 0.1 * rng.randn(n, 1)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3,
+                         q_mu_scale=1.0)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    params = params.replace(
+        q_sqrt=jnp.broadcast_to(
+            jnp.eye(M, dtype=params.q_sqrt.dtype) / np.sqrt(2.0),
+            params.q_sqrt.shape))
+    d0 = 1.0 / np.sqrt(2.0)
+    for lr in (0.5, 4.0, 4000.0):
+        p, e, a, s_inv = train_mod.natgrad_ve_step(
+            params, data, scales, cfg, lr, retraction="cholesky", trust=0.3)
+        assert s_inv is None  # never materialized, passes through
+        Lq = np.asarray(p.q_sqrt)
+        assert np.isfinite(Lq).all()
+        assert (np.triu(Lq, 1) == 0).all()  # exactly lower triangular
+        d = np.diagonal(Lq, axis1=-2, axis2=-1)
+        assert (d > 0).all()
+        # bounded multiplicative step: the diagonal cannot move past the
+        # trust ball in one step (columns scale within [1-2*trust, ...]
+        # through the off-diagonal coupling; the diagonal itself is tight)
+        assert (d >= d0 * (1 - 0.3) - 1e-12).all()
+        assert int(a["ng_backoff"]) == 0
+
+
+def test_cholesky_retraction_converges_nonconjugate():
+    """End-to-end quality: the cholesky retraction reaches an ELBO in the
+    same neighborhood as the exact retraction on a non-conjugate problem
+    (same steps, same lr) and beats the starting point decisively."""
+    rng = np.random.RandomState(1)
+    n, M, Q = 60, 6, 2
+    cfg = ModelConfig(likelihoods=(L.Bernoulli(),), num_latent=Q,
+                      num_inducing=M, input_dim=1, whiten=True,
+                      dtype="float64")
+    X_list = [np.sort(rng.rand(n, 1), 0)]
+    Y_list = [(rng.rand(n, 1) < 0.5).astype(float)]
+    params = init_params(jax.random.PRNGKey(1), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3,
+                         q_mu_scale=1.0)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+    ej = jax.jit(lambda p: elbo_mod.elbo_fn(p, data, scales, cfg)[0])
+
+    def run(retraction, steps):
+        ng = jax.jit(lambda p: train_mod.natgrad_update(
+            p, data, scales, cfg, lr=0.5, retraction=retraction))
+        p = params
+        for _ in range(steps):
+            p = ng(p)
+        return float(ej(p))
+
+    e0 = float(ej(params))
+    e_exact = run("exact", 15)
+    e_chol = run("cholesky", 30)  # bounded steps: allow 2x the iterations
+    assert e_chol > e0 + 0.8 * (e_exact - e0)
+
+
+def test_cholesky_retraction_on_device_trainer():
+    """TrainConfig(natgrad_retraction='cholesky') through the scan
+    trainer: no S^{-1} in the state, finite and improving end-to-end."""
+    rng = np.random.RandomState(7)
+    n, M, Q = 64, 8, 2
+    cfg = ModelConfig(likelihoods=(L.Bernoulli(), L.HetGaussian()),
+                      num_latent=Q, num_inducing=M, input_dim=1,
+                      whiten=True, dtype="float64")
+    X1, X2 = np.sort(rng.rand(n, 1), 0), np.sort(rng.rand(n, 1), 0)
+    Y1 = (np.sin(6 * X1) + 0.3 * rng.randn(n, 1) > 0).astype(float)
+    Y2 = np.sin(4 * X2) + 0.2 * rng.randn(n, 1)
+    params = init_params(jax.random.PRNGKey(5), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.2,
+                         q_mu_scale=0.5)
+    tc = TrainConfig(optimizer="natgrad_adam", step_rate=0.02,
+                     natgrad_lr=0.3, natgrad_retraction="cholesky")
+    new_params, hist = train_mod.svi_fit_on_device(
+        params, cfg, tc, [X1, X2], [Y1, Y2], batch_sizes=32, num_steps=30,
+        key=jax.random.PRNGKey(1), steps_per_call=15, vem=True)
+    assert np.isfinite(hist).all()
+    assert hist[-10:].mean() > hist[:10].mean()
+    assert np.abs(np.asarray(new_params.q_mu)
+                  - np.asarray(params.q_mu)).max() > 1e-3

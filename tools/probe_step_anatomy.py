@@ -15,7 +15,8 @@ import numpy as np
 
 def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
         N_per=4096, vm_batch_fraction=0.25, optimizer="adam",
-        ve_fwd_precision="highest", fuse_task_rows=False):
+        ve_fwd_precision="highest", fuse_task_rows=False,
+        natgrad_retraction="exact"):
     import jax
     from hetmogp_tpu import (Bernoulli, Categorical, Exponential, Gamma,
                              HetGaussian, ModelConfig, Poisson, TrainConfig)
@@ -42,7 +43,8 @@ def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
                       adaptive_jitter=False,
                       ve_fwd_precision=ve_fwd_precision,
                       fuse_task_rows=fuse_task_rows)
-    kw = dict(natgrad_lr=0.1) if optimizer.startswith("natgrad") else {}
+    kw = (dict(natgrad_lr=0.1, natgrad_retraction=natgrad_retraction)
+          if optimizer.startswith("natgrad") else {})
     tc = TrainConfig(optimizer=optimizer, step_rate=0.005, minibatch="slice",
                      vm_batch_fraction=vm_batch_fraction,
                      ve_steps_per_vm=ve_steps_per_vm, **kw)
@@ -55,7 +57,8 @@ def run(ve_steps_per_vm, steps_per_call=100, calls=5, M=1024, Q=4, B=512,
     runner = train_mod.make_scan_trainer(cfg, tc, task_sizes, tuple([B] * T),
                                          vem=True,
                                          steps_per_call=steps_per_call)
-    natgrad = tc.optimizer == "natgrad_adam"
+    natgrad = (tc.optimizer == "natgrad_adam"
+               and tc.natgrad_retraction == "exact")
     optimizer = train_mod.make_optimizer(tc)
     state = init_train_state(params, cfg, optimizer, natgrad=natgrad)
     key = jax.random.PRNGKey(1)
@@ -94,12 +97,13 @@ if __name__ == "__main__":
     if "--natgrad" in sys.argv:
         scenarios = [("natgrad 4:1 mix", dict(ve_steps_per_vm=4,
                                               optimizer="natgrad_adam")),
-                     ("natgrad fused rows", dict(ve_steps_per_vm=4,
-                                                 optimizer="natgrad_adam",
-                                                 fuse_task_rows=True)),
-                     ("natgrad pure VE", dict(ve_steps_per_vm=10 ** 6,
-                                              optimizer="natgrad_adam",
-                                              fuse_task_rows=True))]
+                     ("natgrad chol-retr 4:1",
+                      dict(ve_steps_per_vm=4, optimizer="natgrad_adam",
+                           natgrad_retraction="cholesky")),
+                     ("natgrad chol-retr pure VE",
+                      dict(ve_steps_per_vm=10 ** 6,
+                           optimizer="natgrad_adam",
+                           natgrad_retraction="cholesky"))]
     if "--high" in sys.argv:
         scenarios = [(f"{n} (HIGH fwd)", {**kw, "ve_fwd_precision": "high"})
                      for n, kw in scenarios]
