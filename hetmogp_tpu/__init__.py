@@ -25,7 +25,9 @@ Design versus the reference (see SURVEY.md for the full map):
 from hetmogp_tpu.config import ModelConfig, TrainConfig
 from hetmogp_tpu.likelihoods import (
     Bernoulli,
+    Binomial,
     Dirichlet,
+    LogNormal,
     Ordinal,
     StudentT,
     Beta,
@@ -37,6 +39,8 @@ from hetmogp_tpu.likelihoods import (
     HetLikelihood,
     NegativeBinomial,
     Poisson,
+    Weibull,
+    ZeroInflatedPoisson,
 )
 from hetmogp_tpu.models import SVMOGP, SVMOGPParams, build_elbo, init_params
 from hetmogp_tpu.train import (plot_callback, prepare_dataset_on_device,
@@ -52,15 +56,19 @@ __all__ = [
     "Gaussian",
     "HetGaussian",
     "Bernoulli",
+    "Binomial",
     "Categorical",
     "Beta",
     "Gamma",
     "Exponential",
+    "LogNormal",
     "NegativeBinomial",
     "Poisson",
     "StudentT",
     "Ordinal",
     "Dirichlet",
+    "Weibull",
+    "ZeroInflatedPoisson",
     "HetLikelihood",
     "SVMOGP",
     "plot_callback",

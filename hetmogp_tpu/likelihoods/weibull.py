@@ -1,0 +1,82 @@
+"""Weibull likelihood: survival/duration data, scale b = e^{-f}, shape k.
+
+Beyond the reference (Exponential is its only duration likelihood,
+likelihoods/exponential.py): real time-to-event data has non-constant hazard
+— wear-out (k > 1) or infant mortality (k < 1) — which the Exponential's
+memoryless hazard cannot express.  With the SAME link convention as the
+reference Exponential (scale b = e^{-f}, exponential.py:28-32):
+
+    log p(y | f) = log k - log b + (k - 1) log(y / b) - (y / b)^k
+    E[y]   = b Gamma(1 + 1/k)
+    Var[y] = b^2 [Gamma(1 + 2/k) - Gamma(1 + 1/k)^2]
+
+``Weibull(k=1)`` is bit-for-bit the reference Exponential (tested), so this
+is a strict generalization.  ``learn_k=True`` trains log k through the theta
+machinery (params.lik_theta + TrainConfig.learn_lik_params), like
+NegativeBinomial.learn_r; the theta path runs the shared GH engine on
+``logpdf_t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp, safe_square
+
+
+def _scale(f):
+    # reference Exponential's clip (exponential.py:28-32)
+    return jnp.clip(safe_exp(-f), 1e-9, 1e9)
+
+
+@dataclasses.dataclass(frozen=True)
+class Weibull(Likelihood):
+    k: float = 1.5  # shape; k = 1 recovers Exponential
+    learn_k: bool = False
+
+    def __post_init__(self):
+        if self.k <= 0:
+            raise ValueError(f"shape k must be > 0, got {self.k}")
+
+    @property
+    def n_theta(self):  # type: ignore[override]
+        return 1 if self.learn_k else 0
+
+    def default_theta(self, dtype=np.float64):
+        return np.array([np.log(self.k)], dtype)
+
+    def with_theta(self, theta) -> "Weibull":
+        return dataclasses.replace(
+            self, k=float(np.exp(np.asarray(theta)[0])))
+
+    def _logpdf_k(self, f, y, k):
+        b = _scale(f[0])
+        log_yb = jnp.log(jnp.clip(y[0], 1e-30, None)) - jnp.log(b)
+        # (y/b)^k in log space; safe_exp saturates instead of inf at extreme
+        # quadrature nodes
+        return jnp.log(k) - jnp.log(b) + (k - 1.0) * log_yb - safe_exp(k * log_yb)
+
+    def logpdf(self, f, y):
+        return self._logpdf_k(f, y, self.k)
+
+    def logpdf_t(self, f, y, theta):
+        return self._logpdf_k(f, y, jnp.exp(theta[0]))
+
+    def conditional_moments(self, f):
+        b = _scale(f[:1])
+        # self.k is a static Python float — math.lgamma keeps these constants
+        # concrete under jit (jax.scipy gammaln would return a tracer here)
+        g1 = math.exp(math.lgamma(1.0 + 1.0 / self.k))
+        g2 = math.exp(math.lgamma(1.0 + 2.0 / self.k))
+        return b * g1, safe_square(b) * (g2 - g1 * g1)
+
+    def sample(self, key, F):
+        # inverse CDF: y = b (-log U)^{1/k}
+        b = _scale(F[:, :1])
+        e = jax.random.exponential(key, b.shape, dtype=F.dtype)
+        return b * jnp.power(e, 1.0 / self.k)

@@ -28,6 +28,13 @@ _LIK_POOL = [
     (L.Ordinal(K=3), lambda rng, n: rng.randint(1, 4, (n, 1)).astype(float)),
     (L.NegativeBinomial(r=1.5),
      lambda rng, n: rng.poisson(2.0, (n, 1)).astype(float)),
+    (L.Binomial(n=4),
+     lambda rng, n: rng.binomial(4, 0.4, (n, 1)).astype(float)),
+    (L.ZeroInflatedPoisson(),
+     lambda rng, n: (rng.poisson(2.0, (n, 1))
+                     * (rng.rand(n, 1) > 0.3)).astype(float)),
+    (L.LogNormal(), lambda rng, n: np.exp(0.5 * rng.randn(n, 1))),
+    (L.Weibull(k=1.5), lambda rng, n: rng.weibull(1.5, (n, 1)) + 1e-3),
 ]
 
 
