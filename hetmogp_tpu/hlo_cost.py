@@ -83,7 +83,7 @@ def _prod(dims: str) -> int:
 
 
 class _Computation:
-    __slots__ = ("dots", "calls", "conds", "bodies", "colls")
+    __slots__ = ("dots", "calls", "conds", "bodies", "colls", "copies")
 
     def __init__(self):
         self.dots: List[Tuple[float, int]] = []  # (logical flops, passes)
@@ -93,6 +93,15 @@ class _Computation:
         self.bodies: List[str] = []  # while-loop body computations
         # (kind, output elements) per collective instruction
         self.colls: List[Tuple[str, int]] = []
+        # (bytes, "dtype[dims]") per copy instruction (layout copies)
+        self.copies: List[Tuple[int, str]] = []
+
+
+# bytes per element by HLO dtype tag (unknown tags default to 4)
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "c64": 8, "c128": 16,
+                "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                "s8": 1, "u8": 1, "pred": 1}
 
 
 def _parse_module(text: str) -> Dict[str, _Computation]:
@@ -113,6 +122,13 @@ def _parse_module(text: str) -> Dict[str, _Computation]:
         im = _INSTR_RE.match(line)
         if im:
             symbols[im.group(1)] = (im.group(2), im.group(3))
+            # layout copies are real HBM read+write traffic (bitcasts are
+            # free reinterpretations and are NOT counted)
+            if " copy(" in line:
+                nbytes = (_prod(im.group(3))
+                          * _DTYPE_BYTES.get(im.group(2), 4))
+                current.copies.append(
+                    (nbytes, f"{im.group(2)}[{im.group(3)}]"))
         if " convolution(" in line and im:
             om = _CONV_OPS_RE.search(line)
             dm = _DIM_LABELS_RE.search(line)
@@ -213,6 +229,61 @@ def scan_body_collectives(text: str) -> List[Tuple[str, int]]:
     for b in bodies:
         walk(b)
     return out
+
+
+def scan_body_copy_bytes(text: str, p_true: Optional[float] = None) -> dict:
+    """Per-step layout-copy HBM traffic: total bytes of every ``copy``
+    instruction inside a while-loop body (the scan trainer's step),
+    fusion/cond/nested-call bodies included.
+
+    A ``copy`` in optimized TPU HLO is a physical relayout (e.g. the
+    ``{1,2,0}`` <-> ``{2,1,0}`` transposes XLA inserts when the same
+    (Q, M, M) buffer is consumed under two matmul layouts, or at a scan
+    carry whose fixed layout differs from the compute's preference).  Each
+    copy reads and writes its buffer once, so its wall cost is
+    ``2 * bytes / HBM_bandwidth``.  ``bitcast`` is a free reinterpretation
+    and is not counted.
+
+    Args:
+      text: ``compiled.as_text()`` of an XLA executable.
+      p_true: probability weight of each ``conditional``'s True branch
+        (0.8 for the trainer's 4:1 VE:VM alternation); None sums both.
+
+    Returns ``{"bytes": weighted total, "n_copies": unweighted count,
+    "by_shape": {"dtype[dims]": weighted bytes}}`` — ``by_shape`` is
+    sorted largest-first for direct use in perf reports.
+    """
+    comps = _parse_module(text)
+    bodies = [b for c in comps.values() for b in c.bodies]
+    # one shared traversal (scan_body_collectives-style): each computation
+    # is visited at most once, so a body nested inside another body is not
+    # double-counted when both appear in the bodies list
+    seen: set = set()
+    total = 0.0
+    n = 0
+    by: Dict[str, float] = {}
+
+    def walk(name: str, weight: float):
+        nonlocal total, n
+        if name in seen or name not in comps:
+            return
+        seen.add(name)
+        c = comps[name]
+        for nbytes, shape in c.copies:
+            total += weight * nbytes
+            n += 1
+            by[shape] = by.get(shape, 0.0) + weight * nbytes
+        for callee in c.calls + c.bodies:
+            walk(callee, weight)
+        for t_comp, f_comp in c.conds:
+            wt, wf = (1.0, 1.0) if p_true is None else (p_true, 1.0 - p_true)
+            walk(t_comp, weight * wt)
+            walk(f_comp, weight * wf)
+
+    for b in bodies:
+        walk(b, 1.0)
+    return {"bytes": total, "n_copies": n,
+            "by_shape": dict(sorted(by.items(), key=lambda kv: -kv[1]))}
 
 
 def _entry_name(text: str) -> Optional[str]:

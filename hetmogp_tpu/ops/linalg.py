@@ -306,8 +306,23 @@ def newton_schulz_inv_sqrt(K: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
 
 
 def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
-    """log|A| from A = L L^T; batched over leading dims -> (...,)."""
-    return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+    """log|A| from A = L L^T; batched over leading dims -> (...,).
+
+    The diagonal comes from an eye-masked row reduce, NOT jnp.diagonal:
+    diagonal lowers to a strided gather whose reverse-mode transpose is a
+    scatter-add into a zero (..., M, M) cotangent, and on TPU that pair
+    costs five full-tensor relayout copies per step in the trainer's KL
+    (~16.8 MB each at bench shapes — the largest single HBM-traffic item
+    the per-step copy audit found, hlo_cost.scan_body_copy_bytes).  The
+    masked reduce streams L once — fusing with the KL's trace reduce over
+    the same operand — and its backward is an eye-masked broadcast of the
+    (..., M) cotangent that fuses into the existing L-cotangent
+    accumulation.  No gather, no scatter, no relayout.
+    """
+    m = L.shape[-1]
+    eye = jnp.eye(m, dtype=bool)
+    d = jnp.sum(jnp.where(eye, L, jnp.zeros((), L.dtype)), axis=-1)
+    return 2.0 * jnp.sum(jnp.log(jnp.abs(d)), axis=-1)
 
 
 @jax.custom_jvp

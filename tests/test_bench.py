@@ -195,3 +195,59 @@ def test_hlo_cost_counts_scan_body_once():
     assert r3["n_dots"] >= 1
     assert r3["logical"] == r7["logical"] == dot
     assert r3["physical"] == 3 * dot  # HIGH = 3 passes
+
+
+def test_scan_body_copy_bytes_scopes_and_weights():
+    """scan_body_copy_bytes counts layout-copy bytes ONLY inside while
+    bodies, weights lax.cond branches by p_true, prices bf16 at 2
+    bytes/element, and ignores bitcasts and copies outside the loop."""
+    from hetmogp_tpu import hlo_cost
+
+    txt = """
+HloModule m
+
+%ve_branch (p0: f32[8,8]) -> f32[8,8] {
+  %p0 = f32[8,8]{1,0} parameter(0)
+  ROOT %cp_ve = f32[8,8]{1,0} copy(%p0)
+}
+
+%vm_branch (p1: f32[8,8]) -> f32[8,8] {
+  %p1 = f32[8,8]{1,0} parameter(0)
+  %cp_vm1 = f32[4,4]{1,0} copy(%p1)
+  ROOT %cp_vm2 = f32[4,4]{1,0} copy(%p1)
+}
+
+%loop_cond (c0: f32[8,8]) -> pred[] {
+  %c0 = f32[8,8]{1,0} parameter(0)
+  ROOT %lt = pred[] constant(true)
+}
+
+%loop_body (c1: f32[8,8]) -> f32[8,8] {
+  %c1 = f32[8,8]{1,0} parameter(0)
+  %cp_body = bf16[8,8]{1,0} copy(%c1)
+  %bc = f32[8,8]{1,0} bitcast(%c1)
+  %idx = s32[] constant(1)
+  ROOT %cond = f32[8,8]{1,0} conditional(%idx, %c1, %c1), true_computation=%ve_branch, false_computation=%vm_branch
+}
+
+ENTRY %main (a: f32[8,8]) -> f32[8,8] {
+  %a = f32[8,8]{1,0} parameter(0)
+  %cp_outside = f32[100]{0} copy(%a)
+  ROOT %w = f32[8,8]{1,0} while(%a), condition=%loop_cond, body=%loop_body
+}
+"""
+    ve = 8 * 8 * 4            # one f32[8,8] copy in the True branch
+    vm = 2 * 4 * 4 * 4        # two f32[4,4] copies in the False branch
+    body = 8 * 8 * 2          # one bf16[8,8] copy in the body proper
+
+    both = hlo_cost.scan_body_copy_bytes(txt)
+    assert both["bytes"] == body + ve + vm
+    assert both["n_copies"] == 4  # %cp_outside and %bc excluded
+    assert "f32[100]" not in both["by_shape"]
+
+    w = hlo_cost.scan_body_copy_bytes(txt, p_true=0.8)
+    assert abs(w["bytes"] - (body + 0.8 * ve + 0.2 * vm)) < 1e-9
+    assert abs(w["by_shape"]["f32[8,8]"] - 0.8 * ve) < 1e-9
+
+    ve_only = hlo_cost.scan_body_copy_bytes(txt, p_true=1.0)
+    assert ve_only["bytes"] == body + ve
