@@ -436,3 +436,41 @@ def test_quad_diag_train_matches_quad_diag_and_grads():
         np.testing.assert_allclose(np.asarray(g1[1]),
                                    np.asarray(jnp.tril(g0[1])), atol=1e-11)
         assert (np.triu(np.asarray(g1[1]), 1) == 0).all()
+
+
+def test_logdet_from_chol_value_grad_and_no_scatter():
+    """logdet_from_chol matches the jnp.diagonal formulation exactly AND
+    its gradient program contains no gather/scatter: diagonal's strided
+    gather has a scatter-add transpose that on TPU relays out the full
+    (Q, M, M) cotangent five times per trainer step (docs/DESIGN.md §7k —
+    the 737 -> 829 steps/s fix).  This pins the scatter-free lowering so a
+    refactor back to jnp.diagonal fails here before it reaches a bench."""
+    import re
+
+    rng = np.random.RandomState(3)
+    L = jnp.asarray(np.tril(rng.randn(4, 32, 32)) + 5.0 * np.eye(32),
+                    jnp.float32)
+
+    def old(Lq):
+        d = jnp.diagonal(Lq, axis1=-2, axis2=-1)
+        return 2.0 * jnp.sum(jnp.log(jnp.abs(d)), axis=-1)
+
+    np.testing.assert_array_equal(np.asarray(linalg.logdet_from_chol(L)),
+                                  np.asarray(old(L)))
+    g_new = jax.grad(lambda x: jnp.sum(linalg.logdet_from_chol(x)))(L)
+    g_old = jax.grad(lambda x: jnp.sum(old(x)))(L)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+
+    # KL-shaped scalar: trace + logdet of tril(L), reverse mode
+    def kl_like(x):
+        Lq = jnp.tril(x)
+        return (jnp.sum(jnp.square(Lq))
+                - jnp.sum(linalg.logdet_from_chol(Lq)))
+
+    txt = jax.jit(jax.grad(kl_like)).lower(L).compile().as_text()
+    assert not re.findall(r"= \S+ (?:scatter|gather)\(", txt)
+    # the diagonal form DOES emit them — keep the guard honest
+    txt_old = jax.jit(
+        jax.grad(lambda x: jnp.sum(jnp.square(jnp.tril(x)))
+                 - jnp.sum(old(jnp.tril(x))))).lower(L).compile().as_text()
+    assert re.findall(r"= \S+ (?:scatter|gather)\(", txt_old)
