@@ -9,6 +9,7 @@ same quadrature of the conditional mean/variance (:113-128).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +32,13 @@ def _prob(f):
 # -softplus(-f) and log(1-p) = -softplus(f) are exact and stable at any
 # f; the clip bounds are applied to the logs, reproducing the reference
 # values bit-for-bit in f64 within the clip's active range.
-_LOG_LO = float(jnp.log(1e-9))
-_LOG_HI = float(jnp.log1p(-1e-9))
+#
+# Computed with math (not jnp): a module-level jnp op initializes the JAX
+# backend at import time, which breaks dryrun_multichip's force_virtual_cpu
+# (the env var must be set BEFORE the first backend init). Guarded by
+# tests/test_import_hygiene.py.
+_LOG_LO = math.log(1e-9)
+_LOG_HI = math.log1p(-1e-9)
 
 
 def _log_probs(f):
