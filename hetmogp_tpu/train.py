@@ -855,6 +855,96 @@ def make_scan_trainer(config: ModelConfig, train_config: TrainConfig,
                    donate_argnums=(0,))
 
 
+#: Known per-chip HBM capacities by ``device_kind`` substring, used when the
+#: runtime does not report ``memory_stats()['bytes_limit']`` (the tunnel
+#: backend and the CPU test platform both return None).  Values are the
+#: public per-chip HBM sizes.
+_HBM_BYTES_BY_KIND = (
+    ("v6 lite", 32 << 30), ("v6e", 32 << 30),
+    ("v5 lite", 16 << 30), ("v5e", 16 << 30),
+    ("v5p", 95 << 30), ("v5", 95 << 30),
+    ("v4", 32 << 30), ("v3", 32 << 30), ("v2", 16 << 30),
+)
+
+#: Fraction of per-device HBM the parked dataset may occupy.  The rest is
+#: headroom for parameters, optimizer state, the (Q, B, M) projection
+#: activations and XLA scratch.  At the bench shapes (M=1024, Q=4, B=512 x 6
+#: tasks, f32) those come to well under 2 GB, so 0.6 leaves a wide margin.
+DATASET_HBM_FRACTION = 0.6
+
+
+def _device_hbm_bytes(device) -> Optional[int]:
+    """Per-device memory capacity in bytes, or None when unknowable.
+
+    Prefers the runtime's own ``memory_stats()['bytes_limit']``; falls back
+    to the public per-chip HBM table keyed on ``device_kind``.  CPU (the
+    test platform) returns None — host RAM is not the envelope being
+    guarded.  ``HETMOGP_HBM_BYTES`` overrides everything (set it to test
+    the guard, or when fronting an unlisted accelerator).
+    """
+    env = _os.environ.get("HETMOGP_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = device.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    kind = getattr(device, "device_kind", "").lower()
+    if getattr(device, "platform", "") == "cpu":
+        return None
+    for sub, nbytes in _HBM_BYTES_BY_KIND:
+        if sub in kind:
+            return nbytes
+    return None
+
+
+def check_dataset_fits_hbm(dataset, mesh=None, devices=None) -> None:
+    """Fail fast (with the fallback named) if a parked dataset can't fit.
+
+    ``svi_fit_on_device`` parks the FULL dataset in HBM — the right call at
+    the bench shapes (N=1e6 x 6 tasks, f32, ~32 MB/task: ~0.2 GB of a 16 GB
+    v5e chip, so max N per v5e chip at those row widths is ~2.4e9 rows
+    BEFORE this guard trips at 60%).  At N >> HBM the failure mode would
+    otherwise be an opaque runtime OOM mid-compile; this raises a
+    ``ValueError`` naming the host-streaming fallback (``svi_fit``, which
+    holds only one minibatch on device) and the data-parallel escape
+    (a larger ``mesh`` data axis shards the dataset N-ways).
+
+    The per-device envelope is ``DATASET_HBM_FRACTION`` of HBM; with a mesh
+    the dataset is row-sharded, so the per-device share is total bytes /
+    mesh.shape['data'].  Skipped (returns) when capacity is unknowable —
+    CPU test hosts and runtimes without ``memory_stats``.
+    """
+    devices = (list(mesh.devices.flat) if mesh is not None
+               else (devices or jax.devices()))
+    cap = _device_hbm_bytes(devices[0])
+    if cap is None:
+        return
+    total = 0
+    for td in dataset:
+        for leaf in (td.X, td.Y, td.mask):
+            if leaf is not None:
+                total += int(np.prod(np.shape(leaf))) * np.dtype(
+                    getattr(leaf, "dtype", np.float32)).itemsize
+    shards = int(mesh.shape["data"]) if mesh is not None else 1
+    per_device = total / shards
+    budget = DATASET_HBM_FRACTION * cap
+    if per_device > budget:
+        raise ValueError(
+            f"on-device dataset is {per_device / 2**30:.2f} GiB per device "
+            f"({total / 2**30:.2f} GiB over {shards} data-parallel "
+            f"device(s)), exceeding {DATASET_HBM_FRACTION:.0%} of the "
+            f"{cap / 2**30:.0f} GiB per-device HBM. Options: (1) stream "
+            f"minibatches from host with train.svi_fit (only one batch "
+            f"lives on device), (2) shard rows over more devices (a mesh "
+            f"with a larger 'data' axis), (3) downcast inputs (float32 -> "
+            f"bfloat16 halves the footprint), or (4) raise "
+            f"train.DATASET_HBM_FRACTION / set HETMOGP_HBM_BYTES if this "
+            f"envelope is wrong for your hardware.")
+
+
 def prepare_dataset_on_device(config: ModelConfig, X_list, Y_list,
                               mesh=None):
     """Assemble the full dataset once and place it on device(s).
@@ -864,12 +954,17 @@ def prepare_dataset_on_device(config: ModelConfig, X_list, Y_list,
     [0, N_t) and the wraparound extension is inserted at N_t, so padding
     rows are never sampled).  Returns a device-resident tuple of TaskData
     reusable across svi_fit_on_device calls.
+
+    Raises ValueError (see ``check_dataset_fits_hbm``) when the dataset
+    cannot fit the per-device HBM envelope — use ``svi_fit`` (host
+    streaming) for datasets beyond it.
     """
     from hetmogp_tpu.data import full_batch
 
     pad = int(mesh.shape["data"]) if mesh is not None else 1
     dataset, _ = full_batch(X_list, Y_list, dtype=config.np_dtype,
                             pad_multiple=pad)
+    check_dataset_fits_hbm(dataset, mesh=mesh)
     if mesh is not None:
         from hetmogp_tpu.parallel import sharding as _sh
 

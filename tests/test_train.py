@@ -903,3 +903,36 @@ def test_skip_nonfinite_steps_guards_natgrad_state():
     prod = np.asarray(state2.S_inv) @ np.asarray(Lq @ Lq.mT)
     eye = np.eye(cfg.num_inducing)
     assert np.abs(prod - eye[None]).max() < 1e-6
+
+
+def test_hbm_envelope_guard_names_the_fallback(monkeypatch):
+    """prepare_dataset_on_device fails fast, naming svi_fit, when the parked
+    dataset exceeds the per-device HBM envelope (round-4 verdict #7: the
+    alternative is an opaque OOM mid-compile)."""
+    cfg, params, X_list, Y_list = _problem(n=64)
+    data, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    nbytes = sum(np.prod(np.shape(l)) * np.dtype(l.dtype).itemsize
+                 for td in data for l in (td.X, td.Y, td.mask))
+
+    # capacity unknowable (CPU test host): guard is a no-op
+    train_mod.check_dataset_fits_hbm(data)
+
+    # pretend HBM is smaller than the dataset: must raise, must say svi_fit
+    monkeypatch.setenv("HETMOGP_HBM_BYTES",
+                       str(int(nbytes / train_mod.DATASET_HBM_FRACTION) - 1))
+    with np.testing.assert_raises_regex(ValueError, "svi_fit"):
+        train_mod.check_dataset_fits_hbm(data)
+    with np.testing.assert_raises_regex(ValueError, "svi_fit"):
+        train_mod.prepare_dataset_on_device(cfg, X_list, Y_list)
+
+    # a data-parallel mesh divides the per-device share: 8-way sharding of
+    # the same dataset fits the same limit
+    from hetmogp_tpu.parallel import sharding as _sh
+    mesh = _sh.data_mesh(jax.devices()[:8])
+    padded, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype, pad_multiple=8)
+    train_mod.check_dataset_fits_hbm(padded, mesh=mesh)
+
+    # just over capacity even sharded: raises again
+    monkeypatch.setenv("HETMOGP_HBM_BYTES", str(int(nbytes / 16)))
+    with np.testing.assert_raises_regex(ValueError, "svi_fit"):
+        train_mod.check_dataset_fits_hbm(padded, mesh=mesh)

@@ -110,6 +110,13 @@ if __name__ == "__main__":
     if "--m2048" in sys.argv:
         scenarios = [(f"M=2048 {n}", {**kw, "M": 2048, "steps_per_call": 50})
                      for n, kw in scenarios[:3]]
+    if "--m4096" in sys.argv:
+        # the M=4096 cliff (round-4 verdict weak #3): sweep precision to
+        # match the bench sweep (HIGH) and isolate VE vs VM+refresh
+        scenarios = [(f"M=4096 {n}", {**kw, "M": 4096, "steps_per_call": 20,
+                                      "ve_fwd_precision": "high",
+                                      "fuse_task_rows": True})
+                     for n, kw in scenarios[:3]]
     out = {}
     for name, kw in scenarios:
         r, ms = run(**kw)
