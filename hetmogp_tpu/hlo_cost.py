@@ -83,25 +83,50 @@ def _prod(dims: str) -> int:
 
 
 class _Computation:
-    __slots__ = ("dots", "calls", "conds", "bodies", "colls", "copies")
+    __slots__ = ("dots", "calls", "fusion_calls", "conds", "bodies",
+                 "colls", "copies")
 
     def __init__(self):
         self.dots: List[Tuple[float, int]] = []  # (logical flops, passes)
         self.calls: List[str] = []
+        # computations called BY a fusion instruction (fused bodies) —
+        # copies inside these are free element-wise identities unless they
+        # are the fusion root (a materialized relayout at the output)
+        self.fusion_calls: List[str] = []
         # (true_comp, false_comp) per conditional instruction
         self.conds: List[Tuple[str, str]] = []
         self.bodies: List[str] = []  # while-loop body computations
         # (kind, output elements) per collective instruction
         self.colls: List[Tuple[str, int]] = []
-        # (bytes, "dtype[dims]") per copy instruction (layout copies)
-        self.copies: List[Tuple[int, str]] = []
+        # (bytes, "dtype[dims]", is_root) per copy instruction
+        self.copies: List[Tuple[int, str, bool]] = []
 
 
-# bytes per element by HLO dtype tag (unknown tags default to 4)
+# bytes per element by HLO dtype tag
 _DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "c64": 8, "c128": 16,
                 "f32": 4, "s32": 4, "u32": 4,
                 "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
                 "s8": 1, "u8": 1, "pred": 1}
+
+
+def _dtype_bytes(tag: str) -> float:
+    """Bytes per element for an HLO dtype tag.  f8 variants
+    (f8e4m3fn/f8e5m2/...) are 1 byte; s4/u4 are half a byte; unknown tags
+    default to 4."""
+    if tag in _DTYPE_BYTES:
+        return _DTYPE_BYTES[tag]
+    if tag.startswith("f8"):
+        return 1
+    if tag in ("s4", "u4"):
+        return 0.5
+    return 4
+
+
+# async copy: "%cs = (f32[...]{...}, f32[...]{...}, u32[]) copy-start(%op)"
+# — tuple-shaped output, so _INSTR_RE does not match; grab the first tuple
+# element (the destination buffer).  copy-done is the completion token of
+# the same transfer and is not counted again.
+_COPY_START_RE = re.compile(r"=\s*\(\s*(\w+)\[([\d,]*)\]")
 
 
 def _parse_module(text: str) -> Dict[str, _Computation]:
@@ -125,10 +150,18 @@ def _parse_module(text: str) -> Dict[str, _Computation]:
             # layout copies are real HBM read+write traffic (bitcasts are
             # free reinterpretations and are NOT counted)
             if " copy(" in line:
-                nbytes = (_prod(im.group(3))
-                          * _DTYPE_BYTES.get(im.group(2), 4))
+                nbytes = _prod(im.group(3)) * _dtype_bytes(im.group(2))
                 current.copies.append(
-                    (nbytes, f"{im.group(2)}[{im.group(3)}]"))
+                    (nbytes, f"{im.group(2)}[{im.group(3)}]",
+                     line.lstrip().startswith("ROOT")))
+        elif " copy-start(" in line:
+            # async cross-stream relayout: tuple-shaped output, first
+            # element is the destination buffer (copy-done not re-counted)
+            cs = _COPY_START_RE.search(line)
+            if cs:
+                nbytes = _prod(cs.group(2)) * _dtype_bytes(cs.group(1))
+                current.copies.append(
+                    (nbytes, f"{cs.group(1)}[{cs.group(2)}]", True))
         if " convolution(" in line and im:
             om = _CONV_OPS_RE.search(line)
             dm = _DIM_LABELS_RE.search(line)
@@ -183,8 +216,10 @@ def _parse_module(text: str) -> Dict[str, _Computation]:
                 # by chaining pairwise (rare; not used by the trainer)
                 current.calls.extend(names)
             continue
+        is_fusion = " fusion(" in line
         for cm in _CALL_ATTR_RE.finditer(line):
-            current.calls.append(cm.group(1))
+            (current.fusion_calls if is_fusion else
+             current.calls).append(cm.group(1))
         bm2 = _BODY_ATTR_RE.search(line)
         if bm2:
             current.bodies.append(bm2.group(1))
@@ -220,7 +255,7 @@ def scan_body_collectives(text: str) -> List[Tuple[str, int]]:
         seen.add(name)
         c = comps[name]
         out.extend(c.colls)
-        for x in c.calls + c.bodies:
+        for x in c.calls + c.fusion_calls + c.bodies:
             walk(x)
         for t_comp, f_comp in c.conds:
             walk(t_comp)
@@ -242,7 +277,15 @@ def scan_body_copy_bytes(text: str, p_true: Optional[float] = None) -> dict:
     carry whose fixed layout differs from the compute's preference).  Each
     copy reads and writes its buffer once, so its wall cost is
     ``2 * bytes / HBM_bandwidth``.  ``bitcast`` is a free reinterpretation
-    and is not counted.
+    and is not counted.  Async relayouts (``copy-start``/``copy-done``
+    pairs) are counted once, at the start op, by their destination buffer.
+    A copy fused into a loop fusion is a free element-wise identity inside
+    the fusion's existing traffic and is NOT counted — unless it is the
+    fusion's root, where it materializes a relayout at the output.
+
+    A computation reachable along several paths (e.g. shared by both
+    branches of a ``conditional``) is priced at the SUM of the path
+    weights, matching what actually executes.
 
     Args:
       text: ``compiled.as_text()`` of an XLA executable.
@@ -254,34 +297,60 @@ def scan_body_copy_bytes(text: str, p_true: Optional[float] = None) -> dict:
     sorted largest-first for direct use in perf reports.
     """
     comps = _parse_module(text)
-    bodies = [b for c in comps.values() for b in c.bodies]
-    # one shared traversal (scan_body_collectives-style): each computation
-    # is visited at most once, so a body nested inside another body is not
-    # double-counted when both appear in the bodies list
-    seen: set = set()
+    bodies = list(dict.fromkeys(
+        b for c in comps.values() for b in c.bodies))
+
+    def _reach(start: str) -> set:
+        seen: set = set()
+        stack = [start]
+        while stack:
+            nm = stack.pop()
+            if nm in seen or nm not in comps:
+                continue
+            seen.add(nm)
+            c = comps[nm]
+            stack.extend(c.calls + c.fusion_calls + c.bodies)
+            for t_comp, f_comp in c.conds:
+                stack.extend((t_comp, f_comp))
+        return seen
+
+    # start only from ROOT bodies (not reachable from another body):
+    # nested while bodies are then counted exactly once, through their
+    # parent's call edge, with the parent's weight
+    reach = {b: _reach(b) for b in bodies}
+    roots = [b for b in bodies
+             if not any(b in reach[a] for a in bodies if a != b)]
+
     total = 0.0
     n = 0
     by: Dict[str, float] = {}
+    counted: set = set()  # computations whose copies entered n already
 
-    def walk(name: str, weight: float):
+    def walk(name: str, weight: float, in_fusion: bool):
         nonlocal total, n
-        if name in seen or name not in comps:
+        if name not in comps:
             return
-        seen.add(name)
+        first = name not in counted
+        counted.add(name)
         c = comps[name]
-        for nbytes, shape in c.copies:
+        for nbytes, shape, is_root in c.copies:
+            if in_fusion and not is_root:
+                continue  # fused identity — free
             total += weight * nbytes
-            n += 1
+            if first:
+                n += 1
             by[shape] = by.get(shape, 0.0) + weight * nbytes
         for callee in c.calls + c.bodies:
-            walk(callee, weight)
+            walk(callee, weight, in_fusion)
+        for callee in c.fusion_calls:
+            walk(callee, weight, True)
         for t_comp, f_comp in c.conds:
             wt, wf = (1.0, 1.0) if p_true is None else (p_true, 1.0 - p_true)
-            walk(t_comp, weight * wt)
-            walk(f_comp, weight * wf)
+            walk(t_comp, weight * wt, in_fusion)
+            walk(f_comp, weight * wf, in_fusion)
 
-    for b in bodies:
-        walk(b, 1.0)
+    for b in roots:
+        walk(b, 1.0, False)
     return {"bytes": total, "n_copies": n,
             "by_shape": dict(sorted(by.items(), key=lambda kv: -kv[1]))}
 
@@ -340,7 +409,7 @@ def matmul_flops(text: str, p_true: Optional[float] = None,
             byp[passes] = byp.get(passes, 0.0) + flops
             n += 1
         stack = stack + (name,)
-        for callee in c.calls + c.bodies:
+        for callee in c.calls + c.fusion_calls + c.bodies:
             clg, cph, cbyp, cn = walk(callee, stack)
             lg += clg
             ph += cph

@@ -251,3 +251,79 @@ ENTRY %main (a: f32[8,8]) -> f32[8,8] {
 
     ve_only = hlo_cost.scan_body_copy_bytes(txt, p_true=1.0)
     assert ve_only["bytes"] == body + ve
+
+
+def test_scan_body_copy_bytes_async_fusion_and_shared_branches():
+    """Round-4 advisor items: (1) async copy-start transfers are counted by
+    their destination buffer, once; (2) a computation shared by BOTH
+    branches of a conditional is priced at the sum of the branch weights,
+    not first-visit-wins; (3) copies fused into a loop fusion are free
+    unless they are the fusion root; (4) f8/s4 dtype tags get real widths
+    instead of the 4-byte default."""
+    from hetmogp_tpu import hlo_cost
+
+    txt = """
+HloModule m
+
+%shared (s0: f32[8,8]) -> f32[8,8] {
+  %s0 = f32[8,8]{1,0} parameter(0)
+  ROOT %cp_sh = f32[8,8]{1,0} copy(%s0)
+}
+
+%ve_branch (p0: f32[8,8]) -> f32[8,8] {
+  %p0 = f32[8,8]{1,0} parameter(0)
+  ROOT %cv = f32[8,8]{1,0} call(%p0), to_apply=%shared
+}
+
+%vm_branch (p1: f32[8,8]) -> f32[8,8] {
+  %p1 = f32[8,8]{1,0} parameter(0)
+  ROOT %cm = f32[8,8]{1,0} call(%p1), to_apply=%shared
+}
+
+%fused_free (f0: f32[16]) -> f32[16] {
+  %f0 = f32[16]{0} parameter(0)
+  %cp_mid = f32[16]{0} copy(%f0)
+  ROOT %ad = f32[16]{0} add(%cp_mid, %f0)
+}
+
+%fused_rootcopy (g0: f8e4m3fn[32]) -> f8e4m3fn[32] {
+  %g0 = f8e4m3fn[32]{0} parameter(0)
+  ROOT %cp_root = f8e4m3fn[32]{0} copy(%g0)
+}
+
+%loop_cond (c0: f32[8,8]) -> pred[] {
+  %c0 = f32[8,8]{1,0} parameter(0)
+  ROOT %lt = pred[] constant(true)
+}
+
+%loop_body (c1: f32[8,8]) -> f32[8,8] {
+  %c1 = f32[8,8]{1,0} parameter(0)
+  %cs = (s4[64]{0}, s4[64]{0}, u32[]) copy-start(%c1)
+  %cd = s4[64]{0} copy-done(%cs)
+  %fu1 = f32[16]{0} fusion(%c1), kind=kLoop, calls=%fused_free
+  %fu2 = f8e4m3fn[32]{0} fusion(%c1), kind=kLoop, calls=%fused_rootcopy
+  %idx = s32[] constant(1)
+  ROOT %cond = f32[8,8]{1,0} conditional(%idx, %c1, %c1), true_computation=%ve_branch, false_computation=%vm_branch
+}
+
+ENTRY %main (a: f32[8,8]) -> f32[8,8] {
+  %a = f32[8,8]{1,0} parameter(0)
+  ROOT %w = f32[8,8]{1,0} while(%a), condition=%loop_cond, body=%loop_body
+}
+"""
+    async_bytes = 64 * 0.5          # s4[64] copy-start destination
+    root_fused = 32 * 1             # f8e4m3fn[32] fusion-root copy
+    shared = 8 * 8 * 4              # f32[8,8] copy in %shared
+
+    # p_true=None sums both branches: %shared executes twice per step
+    both = hlo_cost.scan_body_copy_bytes(txt)
+    assert both["bytes"] == async_bytes + root_fused + 2 * shared
+    # %cp_mid (fused identity) and %cd (copy-done) excluded; n is the
+    # static instruction count: copy-start, fusion-root copy, shared copy
+    assert both["n_copies"] == 3
+
+    # weighted: shared gets p_true + (1 - p_true) = 1.0, NOT
+    # first-visit-wins 0.8
+    w = hlo_cost.scan_body_copy_bytes(txt, p_true=0.8)
+    assert abs(w["bytes"] - (async_bytes + root_fused + shared)) < 1e-9
+    assert abs(w["by_shape"]["f32[8,8]"] - shared) < 1e-9

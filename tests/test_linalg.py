@@ -469,8 +469,15 @@ def test_logdet_from_chol_value_grad_and_no_scatter():
 
     txt = jax.jit(jax.grad(kl_like)).lower(L).compile().as_text()
     assert not re.findall(r"= \S+ (?:scatter|gather)\(", txt)
-    # the diagonal form DOES emit them — keep the guard honest
+    # Honesty probe, not a guard: the jnp.diagonal form historically emits
+    # gather/scatter (that lowering is what §7k removed).  If a future XLA
+    # learns to rewrite it too, the library path above is still correct —
+    # warn instead of failing the regression test (round-4 advisor).
     txt_old = jax.jit(
         jax.grad(lambda x: jnp.sum(jnp.square(jnp.tril(x)))
                  - jnp.sum(old(jnp.tril(x))))).lower(L).compile().as_text()
-    assert re.findall(r"= \S+ (?:scatter|gather)\(", txt_old)
+    if not re.findall(r"= \S+ (?:scatter|gather)\(", txt_old):
+        import warnings
+        warnings.warn(
+            "XLA now lowers jnp.diagonal's VJP without gather/scatter; "
+            "the logdet_from_chol custom path may no longer be needed")
