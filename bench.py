@@ -527,7 +527,35 @@ def worker(argv):
             print(json.dumps(res))
         return
     metric, shapes = _workload_params()
-    print(json.dumps(run_workload(metric, **shapes)))
+    res = run_workload(metric, **shapes)
+    quick = any(os.environ.get(k, "") not in ("", "0")
+                for k in ("HETMOGP_BENCH_QUICK", "HETMOGP_BENCH_TINY"))
+    if not quick and os.environ.get("HETMOGP_BENCH_SERVE", "1") \
+            not in ("", "0"):
+        # round-4 verdict #6: record serving alongside the train metric so
+        # serving regressions are visible round-over-round in BENCH_r{N}
+        try:
+            s = run_serve("serve_rows_per_sec_M1024_Q4_6lik")
+            res["serve"] = {k: s[k] for k in
+                            ("value", "unit", "devices", "note")}
+        except Exception as e:  # serving must never kill the train metric
+            res["serve"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        try:
+            # virtual-mesh serving evidence needs a CPU backend from
+            # process start — run it as a nested worker subprocess
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--serve-mesh"], capture_output=True, text=True,
+                timeout=600)
+            rec = next(json.loads(ln) for ln in
+                       reversed(proc.stdout.strip().splitlines())
+                       if ln.lstrip().startswith("{"))
+            res["serve_mesh"] = {k: rec[k] for k in
+                                 ("value", "unit", "per_device",
+                                  "values_match") if k in rec}
+        except Exception as e:
+            res["serve_mesh"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    print(json.dumps(res))
 
 
 def supervise(argv) -> int:
