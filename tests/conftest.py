@@ -30,3 +30,21 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # older jax without the knobs: cold-compile every run
     pass
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the two-tier markers from tests/tiers.py (VERDICT r4 #3).
+
+    Keys are "<file basename>::<base test name>" so parameterized variants
+    inherit their base test's tier and the mapping is invocation-directory
+    independent."""
+    import pytest
+
+    from tests.tiers import FAST, SLOW
+
+    for item in items:
+        key = f"{item.fspath.basename}::{item.name.split('[')[0]}"
+        if key in FAST:
+            item.add_marker(pytest.mark.fast)
+        elif key in SLOW:
+            item.add_marker(pytest.mark.slow)
