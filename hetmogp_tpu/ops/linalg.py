@@ -450,7 +450,28 @@ def _blocked_cholesky_inverse_single(A: jnp.ndarray, nb: int):
     return L, iL_top
 
 
-def blocked_cholesky_inverse(K: jnp.ndarray, nb: int = 128):
+def _auto_nb(m: int) -> int:
+    """Panel width for the blocked factorizations, by matrix size.
+
+    Measured on one v5e chip (tools/probe_m4096_breakdown.py, round 5,
+    serialized-dependency chains): at M=4096 nb=512 beats the old fixed
+    nb=128 by ~8 ms per (4, M, M) chol+inverse pair (~23%) — fewer, larger
+    panels keep the below-panel updates MXU-shaped; at M<=1024 the
+    M=1024-tuned nb=128 stands (docs/DESIGN.md §7).  M=2048 sits between
+    (nb=256 ~3% over nb=128, within run noise) — rounded up since the
+    panel count halves.  HETMOGP_REFRESH_NB overrides for A/B probes.
+    """
+    env = _os.environ.get("HETMOGP_REFRESH_NB", "")
+    if env:
+        return int(env)
+    if m >= 4096:
+        return 512
+    if m >= 2048:
+        return 256
+    return 128
+
+
+def blocked_cholesky_inverse(K: jnp.ndarray, nb: Optional[int] = None):
     """(chol(K), inv(chol(K))) for (..., M, M) SPD K, fused and blocked.
 
     The trainer's VE-cache refresh needs both; computing them together
@@ -458,8 +479,13 @@ def blocked_cholesky_inverse(K: jnp.ndarray, nb: int = 128):
     helper).  Falls back to the separate stock kernels when M is too
     small or not divisible by nb.  Failure surfaces as NaNs (like the
     fixed-jitter jitchol path), not an exception.
+
+    nb: panel width; None (default) picks the measured per-M frontier
+    (``_auto_nb``).
     """
     m = K.shape[-1]
+    if nb is None:
+        nb = _auto_nb(m)
     if m % nb or m <= nb:
         L = jnp.linalg.cholesky(K)
         eye = jnp.eye(m, dtype=K.dtype)
@@ -472,14 +498,19 @@ def blocked_cholesky_inverse(K: jnp.ndarray, nb: int = 128):
     return f(K, nb)
 
 
-def blocked_cholesky(K: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+def blocked_cholesky(K: jnp.ndarray, nb: Optional[int] = None) -> jnp.ndarray:
     """Cholesky of (..., M, M) SPD matrices, blocked onto the MXU.
 
     Falls back to ``jnp.linalg.cholesky`` when M is not divisible by nb or
     too small for blocking to pay.  Like the stock kernel (and the fixed-
     jitter jitchol path), failure surfaces as NaNs, not an exception.
+
+    nb: panel width; None (default) picks the measured per-M frontier
+    (``_auto_nb``).
     """
     m = K.shape[-1]
+    if nb is None:
+        nb = _auto_nb(m)
     if m % nb or m <= nb:
         return jnp.linalg.cholesky(K)
     def f(A, nb):

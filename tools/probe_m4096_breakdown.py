@@ -40,8 +40,9 @@ def chain(f, x0, iters, consts=()):
         def body(c, _):
             y = f(c, *cs)
             # fold output back into the carry so XLA cannot hoist/dedup
-            return jax.tree_util.tree_map(
-                lambda a, b: a + 0.0 * jnp.mean(b), c, y), None
+            # (y's pytree may differ from c's: reduce y to one scalar)
+            s = sum(jnp.mean(leaf) for leaf in jax.tree_util.tree_leaves(y))
+            return jax.tree_util.tree_map(lambda a: a + 0.0 * s, c), None
         c, _ = jax.lax.scan(body, x, None, length=iters)
         return jax.tree_util.tree_map(jnp.sum, c)
 
@@ -69,6 +70,10 @@ def main():
                     + np.eye(M, dtype=np.float32) * M)
     print(f"# M={M} Q={Q} B={B} device={jax.devices()[0].device_kind}")
 
+    if "--ve-only" in sys.argv:
+        _ve_vm_section(M, Q, B)
+        return
+
     for nb in (128, 256, 512):
         ms = chain(lambda k, nb=nb: linalg.blocked_cholesky_inverse(
             k, nb=nb)[1], K, 4)
@@ -95,6 +100,11 @@ def main():
                                        precision=hi), X, 8, consts=(L,))
     print(f"dense matmul  (B,M)x(M,M) HIGHEST : {ms:8.2f} ms", flush=True)
 
+    if "--linalg-only" not in sys.argv:
+        _ve_vm_section(M, Q, B)
+
+
+def _ve_vm_section(M, Q, B):
     # VE / VM autodiff work at bench shapes
     sys.path.insert(0, "/root/repo/tools")
     import probe_ve_parts as pv
@@ -105,7 +115,7 @@ def main():
 
     def ve_loss(qm, qs, p, Luu_, iLuu_):
         p = p.replace(q_mu=qm, q_sqrt=qs)
-        return -em.elbo_fn(p, data, scales, cfg, Luu=Luu_, iLuu=iLuu_)
+        return -em.elbo_fn(p, data, scales, cfg, Luu=Luu_, iLuu=iLuu_)[0]
 
     g_ve = jax.grad(ve_loss, argnums=(0, 1))
     ms = chain(lambda t, p, l, il: g_ve(t[0], t[1], p, l, il),
@@ -114,12 +124,13 @@ def main():
     print(f"VE fwd+bwd (q_mu,q_sqrt), cached Luu: {ms:8.2f} ms", flush=True)
 
     def vm_loss(ls, var, Z, W, p):
-        p = p.replace(lengthscale=ls, variance=var, Z=Z, W=W)
-        return -em.elbo_fn(p, data, scales, cfg)  # no cache: VM refactorizes
+        p = p.replace(log_lengthscale=ls, log_variance=var, Z=Z, W=W)
+        return -em.elbo_fn(p, data, scales, cfg)[0]  # no cache: VM refactorizes
 
     g_vm = jax.grad(vm_loss, argnums=(0, 1, 2, 3))
     ms = chain(lambda t, p: g_vm(t[0], t[1], t[2], t[3], p),
-               (params.lengthscale, params.variance, params.Z, params.W), 2,
+               (params.log_lengthscale, params.log_variance, params.Z,
+                params.W), 2,
                consts=(params,))
     print(f"VM fwd+bwd (hypers), uncached      : {ms:8.2f} ms", flush=True)
 
