@@ -87,6 +87,7 @@ SLOW = frozenset({
     "test_sharding.py::test_model_parallel_2d_mesh_matches_unsharded",
     "test_sharding.py::test_model_parallel_rank2_coregionalization",
     "test_sharding.py::test_model_parallel_scan_trainer",
+    "test_sharding.py::test_latent_axis_splits_m_cubed_work",
     "test_sharding.py::test_scan_body_collective_structure",
     "test_sharding.py::test_sharded_checkpoint_resume_on_2d_mesh",
     "test_sharding.py::test_sharded_natgrad_scan_trainer_matches_unsharded",
