@@ -247,24 +247,31 @@ class TrainConfig:
     natgrad_lr: float = 0.1
     # Natural-gradient retraction for the q(u) update (optimizer=
     # "natgrad_adam"):
-    #   "exact"    — the (theta1, theta2) straight-line update
-    #                S_new^{-1} = S^{-1} - 2 lr dS, recovered via one
-    #                reversed blocked Cholesky per VE step.  Exact CAVI at
-    #                lr=1 with a conjugate likelihood.  The default.
     #   "cholesky" — the triangular-group local-coordinate update
     #                (structured NGD a la Lin/Schmidt/Khan): with the
     #                Fisher metric DIAGONAL in those coordinates the step
     #                is L <- L (I + X), X = 2 lr Phi(L^T dS L), m <- m +
     #                lr S dm — NO factorization, NO solve, NO S^{-1}
-    #                anywhere (measured +24% over "exact" at bench
-    #                shapes).  X is damped per latent to the
+    #                anywhere.  X is damped per latent to the
     #                natgrad_trust ball (max|X_q| <= trust), which keeps
     #                diag(I + X) positive by construction — without it
     #                the raw step freezes/diverges at production scale
     #                where the covariance must contract by orders of
     #                magnitude (measured; DESIGN §7i).  First-order equal
     #                to "exact" in lr; lr=1 CAVI exactness does not hold.
-    natgrad_retraction: str = "exact"
+    #                THE DEFAULT since the round-5 frontier (DESIGN §7n):
+    #                1.7x the steps/s of "exact" (523 vs 313 on the bench
+    #                workload), a uniformly better ELBO-vs-wallclock
+    #                curve, and stable at every lr tested (trust damping).
+    #   "exact"    — the (theta1, theta2) straight-line update
+    #                S_new^{-1} = S^{-1} - 2 lr dS, recovered via one
+    #                reversed blocked Cholesky per VE step.  Exact CAVI at
+    #                lr=1 with a conjugate likelihood — pick it for
+    #                conjugate/near-conjugate models or CAVI-parity
+    #                experiments; on the non-conjugate bench workload it
+    #                is slower and needs lr <= 0.5 (at lr=1 steps are
+    #                rejected by the divergence guard; DESIGN §7n).
+    natgrad_retraction: str = "cholesky"
     # Trust radius for the cholesky retraction's multiplicative L-step
     # (ignored by "exact").  Contraction/expansion per step is bounded by
     # (1 +- trust); must be < 1.

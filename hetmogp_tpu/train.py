@@ -43,6 +43,21 @@ import os as _os
 # (see natgrad_ve_step)
 _NG_BACKOFF = _os.environ.get("HETMOGP_NG_BACKOFF", "1") != "0"
 
+# Divergence bounds for the exact retraction's step acceptance, in WHITENED
+# units (prior q(v) = N(0, I), so the mean is in prior standard deviations
+# and the posterior variance should contract below the prior's 1):
+# * _NG_STEP_MAX — max whitened-mean MOVEMENT per step.  Healthy SVI moves
+#   the mean a few sd per step even early on (measured <= ~19 on the
+#   frontier workload); the near-singular-A blow-up moves it hundreds at
+#   once (measured 411 in the poisoning step).  Scale-free: relative to the
+#   current point, so a legitimately large |m| reached gradually never
+#   trips it.
+# * _NG_SANE_VAR — max whitened posterior variance (diag of L L^T); two
+#   orders of magnitude above any sane posterior.
+# See natgrad_ve_step's _ok for the livelock these catch.
+_NG_STEP_MAX = 50.0
+_NG_SANE_VAR = 1e2
+
 
 # ---------------------------------------------------------------------------
 # gradient masks (the fix/unfix mechanism)
@@ -1437,7 +1452,20 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
         kept_vals = (m, Lq, S_inv)
 
         def _ok(out):
-            return jnp.isfinite(out[0]).all() & jnp.isfinite(out[1]).all()
+            # Finiteness alone is NOT enough for the exact retraction: when
+            # A = S^{-1} - 2 lr dS has a tiny positive eigenvalue, the step
+            # stays finite but S_new (and m_new = S_new theta1) explode —
+            # one such accepted step poisons q, after which every later A is
+            # indefinite from the garbage point and the backoff skips
+            # forever (a livelock, measured: probe_natgrad_frontier lr=1.0,
+            # DESIGN §7n).  The whitened parameterization gives absolute
+            # units, so bound the per-step mean movement and the posterior
+            # variance (see _NG_STEP_MAX/_NG_SANE_VAR) — generous enough
+            # that healthy runs never touch them.
+            d2 = jnp.sum(jnp.square(out[1]), axis=-1)  # diag(S_new)
+            return (jnp.isfinite(out[0]).all() & jnp.isfinite(out[1]).all()
+                    & (jnp.max(jnp.abs(out[0] - m)) < _NG_STEP_MAX)
+                    & (jnp.max(d2) < _NG_SANE_VAR))
 
     def attempt_exact(lr_):
         """One NGD update at step size lr_; NaNs signal an indefinite A."""
@@ -1481,11 +1509,13 @@ def natgrad_ve_step(params: SVMOGPParams, data, scales, config: ModelConfig,
 
     # lr backoff (round-3 verdict weak #2): a large lr can drive the exact
     # retraction's A indefinite — the reversed Cholesky then surfaces
-    # NaNs.  Retry once at lr/4 (a lax.cond branch: measured ZERO cost on
-    # the healthy path, DESIGN §7i), and if even that fails keep the old
-    # state — the step degrades to a no-op on q instead of poisoning the
-    # run (the GPy analogue is jitchol's escalation, reference
-    # util.py:198).  The cholesky retraction's trust damping makes
+    # NaNs — or near-indefinite, where the step stays finite but blows up
+    # (caught by _ok's whitened-unit bounds, DESIGN §7n).  Retry once at
+    # lr/4 (a lax.cond branch: measured ZERO cost on the healthy path,
+    # DESIGN §7i), and if even that fails keep the old state — the step
+    # degrades to a no-op on q instead of poisoning the run (the GPy
+    # analogue is jitchol's escalation, reference util.py:198).
+    # The cholesky retraction's trust damping makes
     # backoff structurally unreachable (diag > 0 by construction); the
     # guard stays armed for non-finite gradients.  aux['ng_backoff']:
     # 0 = clean, 1 = lr/4 accepted, 2 = update skipped.

@@ -315,6 +315,55 @@ def test_natgrad_lr_backoff_recovers_from_indefinite_A():
     assert np.isfinite(np.asarray(si2)).all()
 
 
+def test_exact_retraction_rejects_finite_divergent_step():
+    """The round-5 divergence guard (DESIGN §7n): a step can stay FINITE
+    while blowing up — with Gaussian data far from the init, the VE
+    curvature keeps A = S^{-1} - 2 lr g_S positive definite at any lr (the
+    curvature term enters with the stabilizing sign), so the old
+    finiteness-only acceptance would take a step that moves the whitened
+    mean thousands of prior sd at once.  One such accepted step poisons q
+    and the backoff then rejects everything from the garbage point — a
+    livelock (measured on tools/probe_natgrad_frontier.py at lr=1.0).
+    The guard bounds per-step whitened-mean movement (_NG_STEP_MAX) and
+    whitened posterior variance (_NG_SANE_VAR): the divergent step must be
+    rejected at lr AND lr/4 (ng_backoff == 2, q unchanged), while a small
+    step from the same point is still accepted."""
+    rng = np.random.RandomState(0)
+    n, M, Q = 50, 6, 1
+    cfg = ModelConfig(likelihoods=(L.Gaussian(sigma=0.4),), num_latent=Q,
+                      num_inducing=M, input_dim=1, whiten=True,
+                      dtype="float64")
+    X_list = [np.sort(rng.rand(n, 1), 0)]
+    # observations ~1e4 sd away from the zero-mean init: the raw natgrad
+    # step is finite but moves the whitened mean off the map
+    Y_list = [1e4 + np.sin(5 * X_list[0]) + 0.1 * rng.randn(n, 1)]
+    params = init_params(jax.random.PRNGKey(0), cfg,
+                         np.linspace(0, 1, M)[:, None], lengthscale=0.3,
+                         q_mu_scale=1.0)
+    data, scales = full_batch(X_list, Y_list, dtype=cfg.np_dtype)
+    scales = jnp.asarray(scales, cfg.np_dtype)
+
+    # the raw lr=1 step really is finite AND divergent (the scenario the
+    # guard exists for) — verified against the UNGUARDED attempt by
+    # checking the guard's own report: rejected at both attempts
+    p1, e1, a1, si1 = train_mod.natgrad_ve_step(params, data, scales, cfg,
+                                                lr=1.0, retraction="exact")
+    assert int(a1["ng_backoff"]) == 2
+    np.testing.assert_array_equal(np.asarray(p1.q_mu),
+                                  np.asarray(params.q_mu))
+    np.testing.assert_array_equal(np.asarray(p1.q_sqrt),
+                                  np.asarray(jnp.tril(params.q_sqrt)))
+    assert np.isfinite(np.asarray(si1)).all()
+
+    # a small step from the same point passes the guard and moves q
+    # toward the data (movement below _NG_STEP_MAX but well above noise)
+    p2, e2, a2, si2 = train_mod.natgrad_ve_step(params, data, scales, cfg,
+                                                lr=1e-6, retraction="exact")
+    assert int(a2["ng_backoff"]) == 0
+    moved = np.abs(np.asarray(p2.q_mu) - np.asarray(params.q_mu)).max()
+    assert 1e-4 < moved < train_mod._NG_STEP_MAX
+
+
 def test_cholesky_retraction_matches_exact_direction():
     """natgrad_retraction='cholesky' is the same natural gradient under a
     different retraction: as lr -> 0 (inside the trust ball, where the

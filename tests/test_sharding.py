@@ -641,7 +641,8 @@ def test_sharded_natgrad_scan_trainer_matches_unsharded():
     params = init_params(jax.random.PRNGKey(0), cfg,
                          np.linspace(0, 1, M)[:, None], lengthscale=0.3)
     tc = TrainConfig(optimizer="natgrad_adam", step_rate=0.02,
-                     natgrad_lr=0.3)
+                     natgrad_lr=0.3,
+                     natgrad_retraction="exact")  # the S^{-1}-carrying path
     dataset, _ = full_batch(X_list, Y_list, dtype=cfg.np_dtype,
                             pad_multiple=8)
     opt = train_mod.make_optimizer(tc)

@@ -880,7 +880,8 @@ def test_skip_nonfinite_steps_guards_natgrad_state():
     bad = tuple(d._replace(X=d.X.at[0, 0].set(np.nan)) for d in data)
 
     tc = TrainConfig(optimizer="natgrad_adam", step_rate=0.01,
-                     natgrad_lr=0.3, skip_nonfinite_steps=True)
+                     natgrad_lr=0.3, skip_nonfinite_steps=True,
+                     natgrad_retraction="exact")  # the S^{-1}-carrying path
     step = train_mod.make_svi_step(cfg, tc, vem=True)
     opt = train_mod.make_optimizer(tc)
     state0 = train_mod.init_train_state(params, cfg, opt, natgrad=True)
