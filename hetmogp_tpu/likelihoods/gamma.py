@@ -13,6 +13,7 @@ from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
 from hetmogp_tpu.ops import quadrature
@@ -25,8 +26,45 @@ def _ab(f):
 
 @dataclasses.dataclass(frozen=True)
 class Gamma(Likelihood):
+    """``analytic=True`` (default) collapses the reference's 2-D T=10
+    tensor-GH var_exp (gamma.py:103-194, T^2 = 100 grid nodes, each
+    evaluating gammaln + log + exp) to closed forms plus ONE 1-D GH sweep:
+    with a = e^{f1}, b = e^{f2} independent under q,
+
+      E[log p] = -E[ln Gamma(a)]                 (1-D GH over f1, T nodes)
+                 + E[a] m2                       (E[a ln b] = E[a] E[f2])
+                 + (E[a] - 1) ln y
+                 - y e^{m2+v2/2}                 (E[b])
+
+    where E[a] = e^{m1+v1/2}.  Every f2-axis integral is exact instead of
+    T-node approximate, and the grid shrinks 100 -> 20 nodes with only the
+    gammaln term swept (the sweep is 1-D, so it uses the reference's 1-D
+    default T=20 rather than the T=10 the reference drops to only to bound
+    its 2-D node count; measured agreement with a same-T engine: 1.5e-12
+    at T=20, 1.6e-14 at T=40 — the closed forms are the exact grid limit).
+    ``analytic=False`` restores the full tensor-grid engine
+    (reference-parity mode)."""
+
     dim_f: ClassVar[int] = 2
     T_var_exp: ClassVar[int] = quadrature.MULTI_T
+
+    analytic: bool = True
+
+    def var_exp(self, Y, M, V):
+        if not self.analytic:
+            return Likelihood.var_exp(self, Y, M, V)
+        y = Y[:, 0]
+        m1, m2 = M[:, 0], M[:, 1]
+        v1, v2 = V[:, 0], V[:, 1]
+        Ea = safe_exp(m1 + 0.5 * v1)  # E[a]
+        Eb = safe_exp(m2 + 0.5 * v2)  # E[b]
+        t, w = quadrature.gh_points(quadrature.DEFAULT_T)
+        f1 = (m1[:, None] + jnp.sqrt(2.0 * v1)[:, None]
+              * jnp.asarray(t, dtype=m1.dtype)[None, :])  # (N, T)
+        a_nodes = jnp.clip(safe_exp(f1), 1e-9, 1e9)  # reference clip
+        wn = jnp.asarray(w / np.sqrt(np.pi), dtype=m1.dtype)
+        E_gammaln = jax.scipy.special.gammaln(a_nodes) @ wn
+        return -E_gammaln + Ea * m2 + (Ea - 1.0) * jnp.log(y) - Eb * y
 
     def logpdf(self, f, y):
         a, b = _ab(f)

@@ -17,6 +17,22 @@ from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
 
 @dataclasses.dataclass(frozen=True)
 class Poisson(Likelihood):
+    """``analytic=True`` (default) computes var_exp in closed form:
+    E_{N(f;m,v)}[y f - e^f - ln Gamma(y+1)] = y m - e^{m+v/2} - ln Gamma(y+1),
+    the exact limit of the reference's T=20 GH sweep (poisson.py:66-79) —
+    no grid, no per-node transcendentals, and autodiff reproduces the
+    reference's derivative forms (dm = y - e^{m+v/2}, dv = -e^{m+v/2}/2)
+    exactly.  ``analytic=False`` restores the quadrature engine
+    (reference-parity mode)."""
+
+    analytic: bool = True
+
+    def var_exp(self, Y, M, V):
+        if not self.analytic:
+            return Likelihood.var_exp(self, Y, M, V)
+        y, m, v = Y[:, 0], M[:, 0], V[:, 0]
+        return (y * m - safe_exp(m + 0.5 * v)
+                - jax.scipy.special.gammaln(y + 1.0))
 
     def logpdf(self, f, y):
         ef = safe_exp(f[0])

@@ -29,16 +29,19 @@ CASES = [
     (L.Bernoulli(), oracle.logpdf_bernoulli,
      oracle.dlogp_bernoulli, oracle.d2logp_bernoulli,
      lambda rng, n: (rng.rand(n, 1) > 0.5).astype(float), 1, 20),
-    (L.Poisson(), oracle.logpdf_poisson,
+    # analytic=False pins the GH ENGINE against the reference's grid forms
+    # (the default analytic var_exp paths are pinned separately, against
+    # both the engine and adaptive integration, in test_analytic_var_exp.py)
+    (L.Poisson(analytic=False), oracle.logpdf_poisson,
      oracle.dlogp_poisson, oracle.d2logp_poisson,
      lambda rng, n: rng.poisson(3.0, (n, 1)).astype(float), 1, 20),
-    (L.Exponential(), oracle.logpdf_exponential,
+    (L.Exponential(analytic=False), oracle.logpdf_exponential,
      oracle.dlogp_exponential, oracle.d2logp_exponential,
      lambda rng, n: rng.exponential(1.0, (n, 1)) + 1e-3, 1, 20),
     (L.Beta(), oracle.logpdf_beta,
      oracle.dlogp_beta, oracle.d2logp_beta,
      lambda rng, n: np.clip(rng.rand(n, 1), 0.05, 0.95), 2, 10),
-    (L.Gamma(), oracle.logpdf_gamma,
+    (L.Gamma(analytic=False), oracle.logpdf_gamma,
      oracle.dlogp_gamma, oracle.d2logp_gamma,
      lambda rng, n: rng.gamma(2.0, 1.0, (n, 1)) + 1e-3, 2, 10),
     (L.Categorical(K=3), lambda F, y: oracle.logpdf_categorical(F, y, 3),
