@@ -25,10 +25,13 @@ class Exponential(Likelihood):
     """``analytic=True`` (default) computes var_exp in closed form: with
     b = e^{-f} the logpdf is f - y e^f, so
     E_{N(f;m,v)}[log p] = m - y e^{m+v/2} — the exact limit of the
-    reference's T=20 GH sweep (exponential.py:70-99; the reference's
-    [1e-9, 1e9] clip on b only bites at |f| > ~20.7, far outside any
-    posterior this model produces).  ``analytic=False`` restores the
-    quadrature engine (reference-parity mode)."""
+    reference's T=20 GH sweep (exponential.py:70-99).  E[e^f] carries the
+    reference's [1e-9, 1e9] scale clip (:28-32): the engine clips e^f at
+    every node, bounding the integral at 1e9, and without the analytic
+    analogue a transient m+v/2 > ~88 during f32 training overflows
+    y * e^{m+v/2} to inf (observed on the 3000-step bench workload).
+    ``analytic=False`` restores the quadrature engine (reference-parity
+    mode)."""
 
     analytic: bool = True
 
@@ -36,7 +39,7 @@ class Exponential(Likelihood):
         if not self.analytic:
             return Likelihood.var_exp(self, Y, M, V)
         y, m, v = Y[:, 0], M[:, 0], V[:, 0]
-        return m - y * safe_exp(m + 0.5 * v)
+        return m - y * jnp.clip(safe_exp(m + 0.5 * v), 1e-9, 1e9)
 
     def logpdf(self, f, y):
         b = _scale(f[0])

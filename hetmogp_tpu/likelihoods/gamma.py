@@ -9,11 +9,11 @@ GPy default T=20 (:196-238).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp
 from hetmogp_tpu.ops import quadrature
@@ -22,6 +22,23 @@ from hetmogp_tpu.ops import quadrature
 def _ab(f):
     ef = safe_exp(f)
     return jnp.clip(ef[0], 1e-9, 1e9), jnp.clip(ef[1], 1e-9, 1e9)
+
+
+@functools.lru_cache(maxsize=None)
+def _lngamma_engine(T: int):
+    """E_{N(m,v)}[ln Gamma(clip(e^f, 1e-9, 1e9))] on a T-node 1-D GH grid.
+
+    Built on the shared quadrature engine so the (m, v)-gradients use the
+    Bonnet/Price custom VJP (E[g'], 1/2 E[g'']) — straight autodiff of the
+    sweep differentiates through the node placement m + sqrt(2v) t, whose
+    1/sqrt(2v) backward is singular as v -> 0 and NaNs f32 training when a
+    marginal variance underflows to exactly 0 (observed at bench step ~1484;
+    docs/DESIGN.md §4 documents the same trap for the logpdf engine).
+    """
+    def fn(f, y):
+        return jax.scipy.special.gammaln(jnp.clip(safe_exp(f[0]), 1e-9, 1e9))
+
+    return quadrature.make_var_exp(fn, J=1, T=T)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,14 +73,14 @@ class Gamma(Likelihood):
         y = Y[:, 0]
         m1, m2 = M[:, 0], M[:, 1]
         v1, v2 = V[:, 0], V[:, 1]
-        Ea = safe_exp(m1 + 0.5 * v1)  # E[a]
-        Eb = safe_exp(m2 + 0.5 * v2)  # E[b]
-        t, w = quadrature.gh_points(quadrature.DEFAULT_T)
-        f1 = (m1[:, None] + jnp.sqrt(2.0 * v1)[:, None]
-              * jnp.asarray(t, dtype=m1.dtype)[None, :])  # (N, T)
-        a_nodes = jnp.clip(safe_exp(f1), 1e-9, 1e9)  # reference clip
-        wn = jnp.asarray(w / np.sqrt(np.pi), dtype=m1.dtype)
-        E_gammaln = jax.scipy.special.gammaln(a_nodes) @ wn
+        # the reference clips a, b = e^f to [1e-9, 1e9] at every grid node
+        # (gamma.py:29-36), bounding each integral term at ~1e9; the
+        # analytic analogue clips the expectations — without it a transient
+        # m+v/2 > ~88 during f32 training overflows Ea*m2 / Eb*y to inf
+        Ea = jnp.clip(safe_exp(m1 + 0.5 * v1), 1e-9, 1e9)  # E[a]
+        Eb = jnp.clip(safe_exp(m2 + 0.5 * v2), 1e-9, 1e9)  # E[b]
+        E_gammaln = _lngamma_engine(quadrature.DEFAULT_T)(
+            Y, M[:, :1], V[:, :1])
         return -E_gammaln + Ea * m2 + (Ea - 1.0) * jnp.log(y) - Eb * y
 
     def logpdf(self, f, y):

@@ -13,8 +13,9 @@ reference Exponential (scale b = e^{-f}, exponential.py:28-32):
 ``Weibull(k=1)`` is bit-for-bit the reference Exponential (tested), so this
 is a strict generalization.  ``learn_k=True`` trains log k through the theta
 machinery (params.lik_theta + TrainConfig.learn_lik_params), like
-NegativeBinomial.learn_r; the theta path runs the shared GH engine on
-``logpdf_t``.
+NegativeBinomial.learn_r; the theta path stays analytic by default (see the
+class docstring) and falls back to the shared GH engine on ``logpdf_t`` when
+``analytic=False``.
 """
 
 from __future__ import annotations
@@ -36,8 +37,40 @@ def _scale(f):
 
 @dataclasses.dataclass(frozen=True)
 class Weibull(Likelihood):
+    """``analytic=True`` (default) computes var_exp in closed form: with
+    b = e^{-f} the logpdf is log k + k f + (k-1) log y - y^k e^{k f}, so
+
+        E_{N(f;m,v)}[log p] = log k + k m + (k-1) log y
+                              - e^{k (log y + m) + k^2 v / 2}
+
+    — the exact limit of the GH sweep, reducing bit-for-bit to the
+    Exponential's closed form at k = 1.  The theta path (``learn_k``) stays
+    analytic too (the form is smooth in k = e^theta).  ``analytic=False``
+    restores the quadrature engine (reference-parity mode; the engine's
+    [1e-9, 1e9] scale clip only bites at |f| > ~20.7)."""
+
     k: float = 1.5  # shape; k = 1 recovers Exponential
     learn_k: bool = False
+    analytic: bool = True
+
+    def var_exp(self, Y, M, V, theta=None):
+        if not self.analytic:
+            return Likelihood.var_exp(self, Y, M, V, theta)
+        if theta is not None and self.n_theta:
+            k = jnp.exp(theta[0])
+        else:
+            k = self.k
+        y = jnp.clip(Y[:, 0], 1e-30, None)
+        m, v = M[:, 0], V[:, 0]
+        log_y = jnp.log(y)
+        # E[(y e^f)^k] = (y e^{m + k v/2})^k, with the scale expectation
+        # e^{m + k v/2} carrying the engine's node-level e^f in [1e-9, 1e9]
+        # clip (see _scale / exponential.py) so a transient extreme m during
+        # f32 training saturates instead of overflowing
+        log_scale = jnp.clip(m + 0.5 * k * v,
+                             math.log(1e-9), math.log(1e9))
+        return (jnp.log(k) + k * m + (k - 1.0) * log_y
+                - safe_exp(k * (log_y + log_scale)))
 
     def __post_init__(self):
         if self.k <= 0:

@@ -40,6 +40,14 @@ CASES = [
     # while the engine truncates it at T=10 nodes
     (L.Gamma(), L.Gamma(analytic=False),
      lambda rng, n: rng.gamma(2.0, 1.0, (n, 1)) + 1e-3, 2, 1e-9),
+    # Weibull tol: the k=1.5 integrand e^{1.5 f} grows faster than the
+    # Exponential's, so the ENGINE's T=20 truncation gap is larger
+    (L.Weibull(k=1.5), L.Weibull(k=1.5, analytic=False),
+     lambda rng, n: rng.weibull(1.5, (n, 1)) + 1e-3, 1, 1e-8),
+    # Beta tol: the reduced path computes the separable terms exactly /
+    # at T=20 while the engine truncates every term at T=10
+    (L.Beta(), L.Beta(analytic=False),
+     lambda rng, n: np.clip(rng.rand(n, 1), 0.05, 0.95), 2, 1e-6),
 ]
 
 
@@ -59,7 +67,8 @@ def test_analytic_matches_engine_derivatives():
     rng = np.random.RandomState(1)
     n = 32
     # (dm tol, dv tol) per case — Gamma dv: pathwise-vs-Price truncation gap
-    dtols = [(1e-10, 1e-10), (1e-10, 1e-10), (1e-8, 1e-6)]
+    dtols = [(1e-10, 1e-10), (1e-10, 1e-10), (1e-8, 1e-6), (1e-7, 1e-7),
+             (1e-5, 1e-5)]
     for (lik_a, lik_q, gen, j, _), (tm, tv) in zip(CASES, dtols):
         m, v = _moments(rng, n, j)
         Y = jnp.asarray(gen(rng, n))
@@ -91,6 +100,81 @@ def test_gamma_analytic_dv_converges_with_engine_T():
     gap10 = float(jnp.max(jnp.abs(dva - dv10)))
     gap20 = float(jnp.max(jnp.abs(dva - dv20)))
     assert gap20 < max(gap10 / 100.0, 1e-11), (gap10, gap20)
+
+
+def test_weibull_analytic_k1_equals_exponential():
+    """Weibull(k=1) analytic var_exp equals the Exponential's closed form
+    (same formula; the only difference is y * e^{m+v/2} computed as
+    e^{log y + m + v/2}, a pure rounding-order difference)."""
+    rng = np.random.RandomState(4)
+    n = 32
+    m, v = _moments(rng, n, 1)
+    Y = jnp.asarray(rng.exponential(1.0, (n, 1)) + 1e-3)
+    vw = jax.jit(L.Weibull(k=1.0).var_exp)(Y, m, v)
+    ve = jax.jit(L.Exponential().var_exp)(Y, m, v)
+    np.testing.assert_allclose(np.asarray(vw), np.asarray(ve), rtol=1e-13)
+
+
+def test_weibull_analytic_theta_path():
+    """learn_k: the analytic var_exp(theta) matches the engine's theta path
+    and its theta-gradient is finite and nonzero (so k actually trains)."""
+    rng = np.random.RandomState(5)
+    n = 32
+    m, v = _moments(rng, n, 1)
+    Y = jnp.asarray(rng.weibull(1.5, (n, 1)) + 1e-3)
+    theta = jnp.asarray([np.log(1.7)])
+    lik_a = L.Weibull(learn_k=True)
+    lik_q = L.Weibull(learn_k=True, analytic=False)
+    va = jax.jit(lambda th: lik_a.var_exp(Y, m, v, theta=th))(theta)
+    vq = jax.jit(lambda th: lik_q.var_exp(Y, m, v, theta=th))(theta)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vq), atol=1e-8)
+    g = jax.grad(lambda th: jnp.sum(lik_a.var_exp(Y, m, v, theta=th)))(theta)
+    assert np.isfinite(float(g[0])) and abs(float(g[0])) > 1e-6
+
+
+def test_analytic_finite_at_extreme_f32_moments():
+    """Regression (caught on the 3000-step f32 bench): without the
+    reference's [1e-9, 1e9] scale-clip analogue, a transient m + v/2 > ~88
+    overflows terms like y * e^{m+v/2} to inf in float32 and the gradients
+    blow up (the engine saturates at every clipped node).  Values AND
+    moment-gradients of every analytic path must stay finite at extreme
+    moments, and the gradients must saturate (engine semantics), not grow."""
+    liks_and_y = [
+        (L.Poisson(), 7.0), (L.Exponential(), 3.0), (L.Weibull(k=1.5), 3.0),
+        (L.Gamma(), 4.0), (L.Beta(), 0.7),
+    ]
+    for lik, yval in liks_and_y:
+        j = lik.dim_f
+        for mval in (-200.0, 200.0):
+            m = jnp.full((4, j), mval, dtype=jnp.float32)
+            v = jnp.full((4, j), 50.0, dtype=jnp.float32)
+            Y = jnp.full((4, 1), yval, dtype=jnp.float32)
+            val = lik.var_exp(Y, m, v)
+            dm, dv = lik.var_exp_derivatives(Y, m, v)
+            for arr in (val, dm, dv):
+                assert np.isfinite(np.asarray(arr)).all(), (
+                    type(lik).__name__, mval, np.asarray(arr))
+
+
+def test_analytic_gradients_finite_at_v_zero():
+    """Regression (bench step ~1484): the Gamma/Beta analytic paths' GH
+    sweep terms must use the shared engine's Bonnet/Price custom VJP —
+    straight autodiff through the node placement m + sqrt(2v) t has a
+    1/sqrt(2v) backward that is singular at v -> 0, and an f32 marginal
+    variance CAN underflow to exactly 0 mid-training.  At v == 0 values
+    and both moment-gradients must be finite."""
+    for lik, yval in [(L.Gamma(), 2.0), (L.Beta(), 0.4),
+                      (L.Poisson(), 3.0), (L.Exponential(), 1.0),
+                      (L.Weibull(k=1.5), 1.0)]:
+        j = lik.dim_f
+        m = jnp.full((3, j), 0.3, dtype=jnp.float32)
+        v = jnp.zeros((3, j), dtype=jnp.float32)
+        Y = jnp.full((3, 1), yval, dtype=jnp.float32)
+        val = lik.var_exp(Y, m, v)
+        dm, dv = lik.var_exp_derivatives(Y, m, v)
+        for arr in (val, dm, dv):
+            assert np.isfinite(np.asarray(arr)).all(), (
+                type(lik).__name__, np.asarray(arr))
 
 
 def test_elbo_matches_between_modes():

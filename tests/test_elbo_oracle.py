@@ -26,8 +26,9 @@ def _mixed_problem(seed=0, M=6, Q=2):
     # 1e-9 comparison pins the quadrature ENGINE; the default closed-form
     # var_exp paths are pinned in test_analytic_var_exp.py
     liks = (L.Gaussian(sigma=1.0), L.HetGaussian(), L.Bernoulli(),
-            L.Categorical(K=3), L.Beta(), L.Gamma(analytic=False),
-            L.Exponential(analytic=False), L.Poisson(analytic=False))
+            L.Categorical(K=3), L.Beta(analytic=False),
+            L.Gamma(analytic=False), L.Exponential(analytic=False),
+            L.Poisson(analytic=False))
     task_specs = [
         (oracle.logpdf_gaussian, 1, 20),
         (oracle.logpdf_hetgaussian, 2, 20),

@@ -38,7 +38,7 @@ CASES = [
     (L.Exponential(analytic=False), oracle.logpdf_exponential,
      oracle.dlogp_exponential, oracle.d2logp_exponential,
      lambda rng, n: rng.exponential(1.0, (n, 1)) + 1e-3, 1, 20),
-    (L.Beta(), oracle.logpdf_beta,
+    (L.Beta(analytic=False), oracle.logpdf_beta,
      oracle.dlogp_beta, oracle.d2logp_beta,
      lambda rng, n: np.clip(rng.rand(n, 1), 0.05, 0.95), 2, 10),
     (L.Gamma(analytic=False), oracle.logpdf_gamma,
