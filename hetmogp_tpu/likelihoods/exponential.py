@@ -41,6 +41,17 @@ class Exponential(Likelihood):
         y, m, v = Y[:, 0], M[:, 0], V[:, 0]
         return m - y * jnp.clip(safe_exp(m + 0.5 * v), 1e-9, 1e9)
 
+    def predictive(self, M, V):
+        # closed form of the engine's combination (reference
+        # exponential.py:101-117): E[y*] = E[b] = e^{-m+v/2},
+        # V[y*] = E[b^2] + E[b^2] - E[b]^2 = 2 e^{-2m+2v} - E[b]^2, with the
+        # node-level b / b^2 clips carried onto the expectations
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        Eb = jnp.clip(safe_exp(-M + 0.5 * V), 1e-9, 1e9)
+        Eb2 = jnp.clip(safe_exp(-2.0 * M + 2.0 * V), 1e-18, 1e18)
+        return Eb, 2.0 * Eb2 - jnp.square(Eb)
+
     def logpdf(self, f, y):
         b = _scale(f[0])
         return -jnp.log(b) - y[0] / b

@@ -83,6 +83,25 @@ class Gamma(Likelihood):
             Y, M[:, :1], V[:, :1])
         return -E_gammaln + Ea * m2 + (Ea - 1.0) * jnp.log(y) - Eb * y
 
+    def predictive(self, M, V):
+        # closed form of the engine's combination (reference
+        # gamma.py:196-238): conditional mean a/b, conditional var a/b^2
+        # with a, b independent lognormals under q, so every factor is a
+        # lognormal moment: E[y*] = E[a] E[1/b],
+        # V[y*] = E[a] E[1/b^2] + E[a^2] E[1/b^2] - E[y*]^2.
+        # Positivity: E[a^2] >= E[a]^2 and E[1/b^2] >= E[1/b]^2 (Jensen),
+        # so V >= E[a] E[1/b^2] > 0.  Node clips carried onto expectations.
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        m1, v1 = M[:, :1], V[:, :1]
+        m2, v2 = M[:, 1:], V[:, 1:]
+        Ea = jnp.clip(safe_exp(m1 + 0.5 * v1), 1e-9, 1e9)
+        Ea2 = jnp.clip(safe_exp(2.0 * m1 + 2.0 * v1), 1e-18, 1e18)
+        Eib = jnp.clip(safe_exp(-m2 + 0.5 * v2), 1e-9, 1e9)
+        Eib2 = jnp.clip(safe_exp(-2.0 * m2 + 2.0 * v2), 1e-18, 1e18)
+        mean = Ea * Eib
+        return mean, (Ea + Ea2) * Eib2 - jnp.square(mean)
+
     def logpdf(self, f, y):
         a, b = _ab(f)
         return (-jax.scipy.special.gammaln(a) + a * jnp.log(b)

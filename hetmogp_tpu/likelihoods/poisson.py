@@ -34,6 +34,21 @@ class Poisson(Likelihood):
         return (y * m - safe_exp(m + 0.5 * v)
                 - jax.scipy.special.gammaln(y + 1.0))
 
+    def predictive(self, M, V):
+        # closed form of the engine's law-of-total-variance combination
+        # (reference poisson.py:97-112): E[y*] = E[e^f] = e^{m+v/2},
+        # V[y*] = E[e^f] + E[e^{2f}] - E[e^f]^2 — lognormal moments, the
+        # exact limit of the T=20 sweep
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        # the reference Poisson has NO scale clip, so its engine returns
+        # inf - inf = nan once e^{m+v/2} squares past f32 max; the analytic
+        # path caps the rate moments at 1e9 / 1e18 (the bound every clipped
+        # reference family uses) so serving stays finite at any moments
+        Em = jnp.clip(safe_exp(M + 0.5 * V), 0.0, 1e9)
+        Em2 = jnp.clip(safe_exp(2.0 * M + 2.0 * V), 0.0, 1e18)
+        return Em, Em + Em2 - jnp.square(Em)
+
     def logpdf(self, f, y):
         ef = safe_exp(f[0])
         return -ef + y[0] * f[0] - jax.scipy.special.gammaln(y[0] + 1.0)

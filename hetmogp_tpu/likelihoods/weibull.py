@@ -100,6 +100,18 @@ class Weibull(Likelihood):
     def logpdf_t(self, f, y, theta):
         return self._logpdf_k(f, y, jnp.exp(theta[0]))
 
+    def predictive(self, M, V):
+        # closed form: E[y*] = Gamma(1+1/k) E[b],
+        # V[y*] = Gamma(1+2/k) E[b^2] - Gamma(1+1/k)^2 E[b]^2
+        # (>= (g2 - g1^2) E[b]^2 > 0 by Jensen), b = e^{-f} lognormal
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        g1 = math.exp(math.lgamma(1.0 + 1.0 / self.k))
+        g2 = math.exp(math.lgamma(1.0 + 2.0 / self.k))
+        Eb = jnp.clip(safe_exp(-M + 0.5 * V), 1e-9, 1e9)
+        Eb2 = jnp.clip(safe_exp(-2.0 * M + 2.0 * V), 1e-18, 1e18)
+        return g1 * Eb, g2 * Eb2 - g1 * g1 * jnp.square(Eb)
+
     def conditional_moments(self, f):
         b = _scale(f[:1])
         # self.k is a static Python float — math.lgamma keeps these constants

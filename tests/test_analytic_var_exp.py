@@ -177,6 +177,42 @@ def test_analytic_gradients_finite_at_v_zero():
                 type(lik).__name__, np.asarray(arr))
 
 
+def test_analytic_predictive_matches_engine():
+    """Closed-form predictive moments (lognormal factors) match the T=20 GH
+    engine to its truncation accuracy, and variances are positive."""
+    rng = np.random.RandomState(6)
+    n = 64
+    for lik_a, lik_q in [
+        (L.Poisson(), L.Poisson(analytic=False)),
+        (L.Exponential(), L.Exponential(analytic=False)),
+        (L.Weibull(k=1.5), L.Weibull(k=1.5, analytic=False)),
+        (L.Gamma(), L.Gamma(analytic=False)),
+    ]:
+        j = lik_a.dim_f
+        m, v = _moments(rng, n, j, vmax=0.4)
+        ma, va = jax.jit(lik_a.predictive)(m, v)
+        mq, vq = jax.jit(lik_q.predictive)(m, v)
+        name = type(lik_a).__name__
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mq),
+                                   rtol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vq),
+                                   rtol=1e-4, err_msg=name)
+        assert (np.asarray(va) > 0).all(), name
+
+
+def test_analytic_predictive_finite_at_extremes():
+    """Serving-path robustness: predictive moments stay finite in f32 at
+    extreme latent moments (node-clip analogues on every lognormal factor)."""
+    for lik in (L.Poisson(), L.Exponential(), L.Weibull(k=1.5), L.Gamma()):
+        j = lik.dim_f
+        for mval in (-150.0, 150.0):
+            m = jnp.full((3, j), mval, dtype=jnp.float32)
+            v = jnp.full((3, j), 40.0, dtype=jnp.float32)
+            mp, vp = lik.predictive(m, v)
+            assert np.isfinite(np.asarray(mp)).all(), type(lik).__name__
+            assert np.isfinite(np.asarray(vp)).all(), type(lik).__name__
+
+
 def test_elbo_matches_between_modes():
     """End-to-end: a mixed model's ELBO is mode-independent to GH accuracy."""
     from hetmogp_tpu.config import ModelConfig
