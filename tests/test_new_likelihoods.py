@@ -63,7 +63,10 @@ CASES = [
      lambda rng, n: rng.poisson(2.0, (n, 1)).astype(float), 1, 20),
     (Ordinal(K=4), lambda F, y: np_logpdf_ordinal(F, y, 4),
      lambda rng, n: rng.randint(1, 5, (n, 1)).astype(float), 1, 20),
-    (Dirichlet(K=3), np_logpdf_dirichlet,
+    # analytic=False pins the tensor-grid ENGINE against the NumPy grid
+    # oracle (the default analytic reduction is pinned separately in
+    # test_analytic_var_exp.py::test_dirichlet_analytic_reduction)
+    (Dirichlet(K=3, analytic=False), np_logpdf_dirichlet,
      lambda rng, n: _simplex(rng, n, 3), 3, 5),
 ]
 IDS = ["StudentT", "NegativeBinomial", "Ordinal", "Dirichlet"]
