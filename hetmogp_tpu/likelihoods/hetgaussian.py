@@ -21,7 +21,22 @@ from hetmogp_tpu.likelihoods.base import Likelihood, safe_exp, safe_square
 
 @dataclasses.dataclass(frozen=True)
 class HetGaussian(Likelihood):
+    """``analytic=True`` (default) also closes the predictive moments:
+    E[y*] = m1, V[y*] = E[e^{f2}] + Var[f1] = e^{m2+v2/2} + v1 — the exact
+    limit of the reference's T=20 GH combination (hetgaussian.py:75-88),
+    with the scale expectation clipped at the node bound like var_exp's
+    precision.  ``analytic=False`` restores the grid engine (var_exp is
+    analytic in the reference itself, so it has no engine mode)."""
+
     dim_f: ClassVar[int] = 2
+
+    analytic: bool = True
+
+    def predictive(self, M, V):
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        Evar = jnp.clip(safe_exp(M[:, 1:] + 0.5 * V[:, 1:]), 0.0, 1e9)
+        return M[:, :1], Evar + V[:, :1]
 
     def logpdf(self, f, y):
         # -0.5 log 2pi - f2/2 - (y - f1)^2 / (2 e^{f2}) — reference :29-33.

@@ -226,6 +226,7 @@ def test_analytic_predictive_matches_engine():
         (L.Exponential(), L.Exponential(analytic=False)),
         (L.Weibull(k=1.5), L.Weibull(k=1.5, analytic=False)),
         (L.Gamma(), L.Gamma(analytic=False)),
+        (L.HetGaussian(), L.HetGaussian(analytic=False)),
     ]:
         j = lik_a.dim_f
         m, v = _moments(rng, n, j, vmax=0.4)
