@@ -29,6 +29,23 @@ class StudentT(Likelihood):
     # (params.lik_theta + TrainConfig.learn_lik_params).  Default False
     # keeps df a fixed constant.
     learn_df: bool = False
+    # analytic=True closes the predictive moments (see predictive below);
+    # False restores the T=20^2 grid engine
+    analytic: bool = True
+
+    def predictive(self, M, V):
+        # E[y*] = m1; V[y*] = df/(df-2) E[e^{2 f2}] + v1 with
+        # E[e^{2 f2}] = e^{2 m2 + 2 v2} — exact limit of the grid
+        # combination; scale expectation capped at the node bound (the
+        # var_exp engine's safe_exp saturation analogue).  df <= 2: the
+        # conditional variance is infinite, matching conditional_moments.
+        if not self.analytic:
+            return Likelihood.predictive(self, M, V)
+        if self.df <= 2.0:
+            return M[:, :1], jnp.full_like(M[:, :1], jnp.inf)
+        c = self.df / (self.df - 2.0)
+        Es2 = jnp.clip(safe_exp(2.0 * M[:, 1:] + 2.0 * V[:, 1:]), 0.0, 1e18)
+        return M[:, :1], c * Es2 + V[:, :1]
 
     @property
     def n_theta(self):  # type: ignore[override]

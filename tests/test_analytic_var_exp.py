@@ -227,6 +227,7 @@ def test_analytic_predictive_matches_engine():
         (L.Weibull(k=1.5), L.Weibull(k=1.5, analytic=False)),
         (L.Gamma(), L.Gamma(analytic=False)),
         (L.HetGaussian(), L.HetGaussian(analytic=False)),
+        (L.StudentT(df=4.0), L.StudentT(df=4.0, analytic=False)),
     ]:
         j = lik_a.dim_f
         m, v = _moments(rng, n, j, vmax=0.4)
