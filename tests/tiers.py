@@ -34,6 +34,11 @@ FAST = frozenset({
     # full likelihood sweep: var_exp values + derivative identities
     "test_likelihoods.py::test_var_exp_matches_oracle",
     "test_likelihoods.py::test_var_exp_derivatives_match_reference_form",
+    # closed-form var_exp defaults (DESIGN §7o): engine agreement + the two
+    # f32 production-failure regressions (overflow clip, v=0 gradients)
+    "test_analytic_var_exp.py::test_analytic_matches_engine_values",
+    "test_analytic_var_exp.py::test_analytic_finite_at_extreme_f32_moments",
+    "test_analytic_var_exp.py::test_analytic_gradients_finite_at_v_zero",
     # the driver-path guard: import must not initialize a backend
     "test_import_hygiene.py::test_import_initializes_no_backend",
 })
